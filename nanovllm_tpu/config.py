@@ -1,0 +1,258 @@
+"""Model and engine configuration.
+
+Capability parity with the reference's two config layers:
+  - model config: /root/reference/purego/tensor/config.go:58-122 (`ModelConfig`
+    with attention/norm/position/activation/block-style enums, RoPE, MoE,
+    Mamba2 and muP fields, per-arch preset constructors :125-376).
+  - engine config: /root/reference/nanovllm/config.go:9-70 (batching budgets,
+    KV block size/count, validation).
+
+Re-designed TPU-first: dataclasses (hashable, usable as jit static args where
+needed), explicit dtype policy (compute dtype vs params dtype), and engine
+knobs for shape-stable compilation (max batch slots, prefill bucketing) that a
+CPU engine never needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import math
+from dataclasses import dataclass, field
+
+
+class AttentionType(str, enum.Enum):
+    MHA = "mha"  # num_kv_heads == num_heads  (GPT-2)
+    GQA = "gqa"  # 1 < num_kv_heads < num_heads  (Llama 3.x, Granite, Mistral)
+    MQA = "mqa"  # num_kv_heads == 1  (Falcon-7B)
+
+
+class NormType(str, enum.Enum):
+    LAYERNORM = "layernorm"
+    RMSNORM = "rmsnorm"
+
+
+class PositionType(str, enum.Enum):
+    LEARNED = "learned"  # GPT-2 wpe
+    ROPE = "rope"
+
+
+class ActivationType(str, enum.Enum):
+    GELU = "gelu"        # tanh-approx GELU (GPT-2, Falcon)
+    SWIGLU = "swiglu"    # silu(gate) * up (Llama, Granite, Mistral)
+
+
+class BlockStyle(str, enum.Enum):
+    SEQUENTIAL = "sequential"  # x += attn(ln1 x); x += ffn(ln2 x)
+    PARALLEL = "parallel"      # x += attn(ln x) + ffn(ln x)   (Falcon-7B)
+
+
+class LayerKind(str, enum.Enum):
+    """Per-layer kind for hybrid stacks (Granite 4.0: mamba2 + attention)."""
+
+    ATTENTION = "attention"
+    MAMBA2 = "mamba2"
+
+
+@dataclass(frozen=True)
+class RopeScalingConfig:
+    """Llama-3 style RoPE frequency scaling (capability the reference lacks —
+    its RoPE cache simply panics past MaxSeqLen, rope.go:84-86)."""
+
+    rope_type: str = "llama3"
+    factor: float = 8.0
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    original_max_position_embeddings: int = 8192
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Architecture description. Mirrors the capability surface of the
+    reference `ModelConfig` (tensor/config.go:58-122) without copying its
+    layout; adds dtype policy and sliding-window support."""
+
+    # Core dims
+    vocab_size: int
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int = 0  # 0 => hidden_size // num_heads
+    intermediate_size: int = 0  # FFN inner dim; 0 => 4*hidden
+    max_seq_len: int = 2048
+
+    # Architecture switches
+    attention_type: AttentionType = AttentionType.MHA
+    norm_type: NormType = NormType.LAYERNORM
+    position_type: PositionType = PositionType.ROPE
+    activation: ActivationType = ActivationType.SWIGLU
+    block_style: BlockStyle = BlockStyle.SEQUENTIAL
+    norm_eps: float = 1e-5
+    # Per-projection bias flags (GPT-2 has all biases; Llama none; Falcon none
+    # on dense layers; Qwen-style attn-bias-only is expressible too).
+    attn_bias: bool = False
+    mlp_bias: bool = False
+    tie_word_embeddings: bool = False
+    # Parallel-block variant (Falcon-7B): single shared input layernorm.
+    parallel_single_ln: bool = True
+
+    # RoPE
+    rope_theta: float = 10000.0
+    rope_scaling: RopeScalingConfig | None = None
+    partial_rotary_factor: float = 1.0
+
+    # Sliding-window attention (Mistral). 0 = disabled.
+    sliding_window: int = 0
+
+    # MoE (Granite 3.0). num_experts == 0 => dense FFN.
+    num_experts: int = 0
+    num_experts_per_tok: int = 0
+    moe_intermediate_size: int = 0
+    moe_router_renormalize: bool = True
+
+    # muP multipliers (Granite; reference generic_model.go:298-301,320-325,
+    # 473-477 — NB logits are *divided* by logits_scaling).
+    embedding_multiplier: float = 1.0
+    residual_multiplier: float = 1.0
+    attention_multiplier: float = 0.0  # 0 => 1/sqrt(head_dim)
+    logits_scaling: float = 1.0
+
+    # Mamba2 / hybrid (Granite 4.0). Empty layer_kinds => all-attention.
+    layer_kinds: tuple[LayerKind, ...] = ()
+    mamba_d_state: int = 0
+    mamba_d_conv: int = 0
+    mamba_n_heads: int = 0
+    mamba_head_dim: int = 0
+    mamba_expand: int = 2
+    mamba_n_groups: int = 1
+    mamba_chunk_size: int = 256
+    # Granite 4.0 attention layers have no RoPE (nope); default True for
+    # ordinary rope models.
+    hybrid_attn_rope: bool = True
+
+    # Dtype policy: name strings to stay hashable ("bfloat16"/"float32").
+    dtype: str = "bfloat16"
+
+    # Identification
+    model_type: str = "llama"
+    eos_token_id: int | tuple[int, ...] = 2
+    bos_token_id: int | None = None
+
+    def __post_init__(self):
+        if self.head_dim == 0:
+            object.__setattr__(self, "head_dim", self.hidden_size // self.num_heads)
+        if self.intermediate_size == 0:
+            object.__setattr__(self, "intermediate_size", 4 * self.hidden_size)
+        if self.num_heads % max(self.num_kv_heads, 1) != 0 and self.num_kv_heads > 1:
+            raise ValueError(
+                f"num_heads={self.num_heads} not divisible by num_kv_heads={self.num_kv_heads}"
+            )
+        # Derive attention type if the default doesn't match head counts.
+        if self.num_kv_heads == 1 and self.num_heads > 1:
+            object.__setattr__(self, "attention_type", AttentionType.MQA)
+        elif self.num_kv_heads == self.num_heads:
+            object.__setattr__(self, "attention_type", AttentionType.MHA)
+        else:
+            object.__setattr__(self, "attention_type", AttentionType.GQA)
+
+    @property
+    def rotary_dim(self) -> int:
+        return int(self.head_dim * self.partial_rotary_factor)
+
+    @property
+    def attn_scale(self) -> float:
+        """Softmax scale; Granite overrides with muP attention_multiplier
+        (reference attention.go:360-364)."""
+        if self.attention_multiplier:
+            return self.attention_multiplier
+        return 1.0 / math.sqrt(self.head_dim)
+
+    @property
+    def is_hybrid(self) -> bool:
+        return any(k == LayerKind.MAMBA2 for k in self.layer_kinds)
+
+    def layer_kind(self, i: int) -> LayerKind:
+        if not self.layer_kinds:
+            return LayerKind.ATTENTION
+        return self.layer_kinds[i]
+
+    @property
+    def eos_token_ids(self) -> tuple[int, ...]:
+        if isinstance(self.eos_token_id, tuple):
+            return self.eos_token_id
+        return (self.eos_token_id,)
+
+    def num_params_estimate(self) -> int:
+        """Rough parameter count (capability parity with
+        tensor/config.go:421 EstimateParameters)."""
+        e, v, l = self.hidden_size, self.vocab_size, self.num_layers
+        d = self.head_dim
+        attn = e * (self.num_heads * d) + 2 * e * (self.num_kv_heads * d) + (self.num_heads * d) * e
+        if self.num_experts:
+            ffn = self.num_experts * 3 * e * self.moe_intermediate_size + e * self.num_experts
+        else:
+            mult = 3 if self.activation == ActivationType.SWIGLU else 2
+            ffn = mult * e * self.intermediate_size
+        emb = v * e * (1 if self.tie_word_embeddings else 2)
+        return emb + l * (attn + ffn)
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Serving-engine knobs. Mirrors the reference's engine config
+    (nanovllm/config.go:9-20 — MaxNumBatchedTokens 16384, MaxNumSeqs 512,
+    MaxModelLen 4096, KVCacheBlockSize, NumKVCacheBlocks) and adds the
+    TPU-specific shape-stability knobs the reference never needed."""
+
+    model: str = ""
+    max_num_batched_tokens: int = 16384
+    max_num_seqs: int = 256
+    max_model_len: int = 4096
+    kv_block_size: int = 128
+    num_kv_blocks: int = -1  # -1 => sized from kv_pool_bytes at runtime
+    kv_pool_bytes: int = 4 << 30  # HBM budget for the paged KV pool
+    eos_token_id: int = -1
+    enable_prefix_caching: bool = True
+
+    # TPU shape discipline: decode runs at a fixed batch of `max_decode_slots`
+    # (padded with inactive lanes); prefill lengths are bucketed to powers of
+    # two between min_prefill_bucket and max_model_len to bound recompiles.
+    max_decode_slots: int = 64
+    min_prefill_bucket: int = 128
+    # KV cache quantization: "none" | "int8"
+    kv_cache_dtype: str = "none"
+    # Weight quantization: "none" | "int8" | "int4"
+    quantization: str = "none"
+
+    # Parallelism
+    tensor_parallel_size: int = 1
+    data_parallel_size: int = 1
+
+    def __post_init__(self):
+        if self.kv_block_size % 16 != 0:
+            raise ValueError("kv_block_size must be a multiple of 16")
+        if self.max_num_seqs <= 0 or self.max_model_len <= 0:
+            raise ValueError("max_num_seqs and max_model_len must be positive")
+        if self.max_num_batched_tokens < self.max_model_len:
+            raise ValueError(
+                "max_num_batched_tokens must be >= max_model_len "
+                f"({self.max_num_batched_tokens} < {self.max_model_len})"
+            )
+        if self.kv_cache_dtype not in ("none", "int8"):
+            raise ValueError(f"unsupported kv_cache_dtype {self.kv_cache_dtype}")
+        if self.quantization not in ("none", "int8", "int4"):
+            raise ValueError(f"unsupported quantization {self.quantization}")
+        if not 1 <= self.tensor_parallel_size <= 256:
+            raise ValueError("tensor_parallel_size out of range")
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def bucket_length(n: int, minimum: int, maximum: int) -> int:
+    """Round n up to the next power-of-two bucket in [minimum, maximum]."""
+    b = max(minimum, 1)
+    while b < n:
+        b *= 2
+    return min(b, maximum) if b <= maximum else maximum

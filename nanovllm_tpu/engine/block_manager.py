@@ -1,0 +1,148 @@
+"""Block-granular KV allocation with hash-chained prefix caching.
+
+Capability parity with /root/reference/nanovllm/block_manager.go: per-block
+chained hashes over full blocks (:72-88), allocation that reuses cache hits
+guarded by a full token comparison (:154-188), refcounted deallocation in
+reverse order (:206-219), `can_append`/`may_append` block-boundary logic
+(:222-263).
+
+The decisive difference (SURVEY.md §2.5-1): these block ids index the REAL
+on-device paged KV pool (ops/kv_cache.py), and `Sequence.num_cached_tokens`
+is consumed by the runner to actually SKIP prefill compute for cached
+prefixes — in the reference the block table is dropped on the floor and
+prefill always recomputes everything.
+
+Hashing uses blake2b-64 over (prefix_hash, token_ids) — any deterministic
+64-bit hash serves; the reference used xxhash (block_manager.go:72-88).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections import deque
+from typing import Optional
+
+from nanovllm_tpu.engine.sequence import Sequence
+
+
+def compute_hash(token_ids: list[int], prefix_hash: int = -1) -> int:
+    h = hashlib.blake2b(digest_size=8)
+    h.update(struct.pack("<q", prefix_hash))
+    h.update(struct.pack(f"<{len(token_ids)}i", *token_ids))
+    return struct.unpack("<q", h.digest())[0]
+
+
+class Block:
+    __slots__ = ("block_id", "ref_count", "hash", "token_ids")
+
+    def __init__(self, block_id: int):
+        self.block_id = block_id
+        self.ref_count = 0
+        self.hash: int = -1
+        self.token_ids: list[int] = []
+
+    def update(self, hash_val: int, token_ids: list[int]) -> None:
+        self.hash = hash_val
+        self.token_ids = token_ids
+
+    def reset(self) -> None:
+        self.ref_count = 1
+        self.hash = -1
+        self.token_ids = []
+
+
+class BlockManager:
+    def __init__(self, num_blocks: int, block_size: int, enable_prefix_caching: bool = True):
+        self.num_blocks = num_blocks
+        self.block_size = block_size
+        self.enable_prefix_caching = enable_prefix_caching
+        self.blocks = [Block(i) for i in range(num_blocks)]
+        self.hash_to_block_id: dict[int, int] = {}
+        self.free_block_ids: deque[int] = deque(range(num_blocks))
+        self.used_block_ids: set[int] = set()
+
+    @property
+    def num_free_blocks(self) -> int:
+        return len(self.free_block_ids)
+
+    def _allocate_block(self, block_id: int) -> Block:
+        block = self.blocks[block_id]
+        assert block.ref_count == 0
+        block.reset()
+        self.free_block_ids.remove(block_id)
+        self.used_block_ids.add(block_id)
+        return block
+
+    def _deallocate_block(self, block_id: int) -> None:
+        assert self.blocks[block_id].ref_count == 0
+        self.used_block_ids.remove(block_id)
+        self.free_block_ids.append(block_id)
+
+    def can_allocate(self, seq: Sequence) -> bool:
+        return self.num_free_blocks >= seq.num_blocks
+
+    def allocate(self, seq: Sequence) -> None:
+        """Build seq.block_table, reusing prefix-cache hits. Sets
+        seq.num_cached_tokens to the number of leading tokens whose KV is
+        already resident (capped at len-1 by the caller's runner so the last
+        token is always recomputed for logits)."""
+        assert not seq.block_table
+        h = -1
+        cache_miss = False
+        seq.num_cached_tokens = 0
+        for i in range(seq.num_blocks):
+            token_ids = seq.block(i)
+            full = len(token_ids) == self.block_size
+            h = compute_hash(token_ids, h) if (full and self.enable_prefix_caching) else -1
+            block_id = self.hash_to_block_id.get(h, -1) if h != -1 else -1
+            if block_id == -1 or self.blocks[block_id].token_ids != token_ids:
+                cache_miss = True
+            if cache_miss:
+                block_id = self.free_block_ids[0]
+                block = self._allocate_block(block_id)
+            else:
+                seq.num_cached_tokens += self.block_size
+                if block_id in self.used_block_ids:
+                    block = self.blocks[block_id]
+                    block.ref_count += 1
+                else:
+                    block = self._allocate_block(block_id)
+            if h != -1:
+                block.update(h, token_ids)
+                self.hash_to_block_id[h] = block_id
+            seq.block_table.append(block_id)
+
+    def deallocate(self, seq: Sequence) -> None:
+        for block_id in reversed(seq.block_table):
+            block = self.blocks[block_id]
+            block.ref_count -= 1
+            if block.ref_count == 0:
+                self._deallocate_block(block_id)
+        seq.num_cached_tokens = 0
+        seq.block_table = []
+
+    def can_append(self, seq: Sequence) -> bool:
+        # A new block is needed exactly when the appended token starts one
+        # (reference block_manager.go:222-228).
+        need = 1 if len(seq) % self.block_size == 1 else 0
+        return self.num_free_blocks >= need
+
+    def may_append(self, seq: Sequence) -> None:
+        """Called after a token was appended: allocate a block at a boundary,
+        seal the chained hash when a block fills (reference :231-263)."""
+        block_table = seq.block_table
+        n = len(seq)
+        if n % self.block_size == 1:
+            block_id = self.free_block_ids[0]
+            self._allocate_block(block_id)
+            block_table.append(block_id)
+        elif n % self.block_size == 0 and self.enable_prefix_caching:
+            token_ids = seq.block(seq.num_blocks - 1)
+            prefix = (
+                self.blocks[block_table[-2]].hash if len(block_table) > 1 else -1
+            )
+            h = compute_hash(token_ids, prefix)
+            last = self.blocks[block_table[-1]]
+            last.update(h, token_ids)
+            self.hash_to_block_id[h] = last.block_id

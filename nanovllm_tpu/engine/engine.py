@@ -1,0 +1,155 @@
+"""LLMEngine: request intake, step loop, batched generation.
+
+Capability parity with /root/reference/nanovllm/llm_engine.go — AddRequest
+accepting strings or token ids (:44-54), Step = schedule → run → postprocess →
+collect finished (:62-98), Generate loop with prefill/decode throughput
+telemetry (:105-182). The reference's output-ordering bug (finished outputs
+mapped to prompt indices by first-empty-slot, llm_engine.go:169-181 —
+SURVEY.md §2.5-4) is fixed: outputs are keyed by sequence id.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Protocol, Sequence as Seq, Union
+
+from nanovllm_tpu.config import EngineConfig, ModelConfig
+from nanovllm_tpu.engine.runner import ModelRunner, MockModelRunner, default_num_kv_blocks
+from nanovllm_tpu.engine.scheduler import Scheduler
+from nanovllm_tpu.engine.sequence import Sequence
+from nanovllm_tpu.sampling_params import SamplingParams
+
+
+class Tokenizer(Protocol):
+    def encode(self, text: str) -> list[int]: ...
+
+    def decode(self, token_ids: Seq[int]) -> str: ...
+
+    @property
+    def eos_token_id(self) -> int: ...
+
+
+class MockTokenizer:
+    """Char-level fake (reference model_runner.go:86-105)."""
+
+    def encode(self, text: str) -> list[int]:
+        return [ord(c) % 256 for c in text]
+
+    def decode(self, token_ids) -> str:
+        return "".join(chr(32 + (t % 95)) for t in token_ids)
+
+    @property
+    def eos_token_id(self) -> int:
+        return 0
+
+
+class RequestOutput:
+    def __init__(self, seq: Sequence, text: str):
+        self.seq_id = seq.seq_id
+        self.token_ids = list(seq.completion_token_ids)
+        self.text = text
+        self.finish_reason = seq.finish_reason
+        self.num_prompt_tokens = seq.num_prompt_tokens
+        self.num_cached_tokens = seq.num_cached_tokens
+
+
+class LLMEngine:
+    def __init__(
+        self,
+        model_cfg: Optional[ModelConfig],
+        engine_cfg: EngineConfig,
+        runner: Optional[ModelRunner] = None,
+        tokenizer=None,
+        num_kv_blocks: Optional[int] = None,
+    ):
+        self.model_cfg = model_cfg
+        self.engine_cfg = engine_cfg
+        self.runner = runner if runner is not None else MockModelRunner()
+        self.tokenizer = tokenizer if tokenizer is not None else MockTokenizer()
+        if num_kv_blocks is None:
+            if model_cfg is not None:
+                num_kv_blocks = default_num_kv_blocks(model_cfg, engine_cfg)
+            else:
+                num_kv_blocks = 1024  # reference default, scheduler.go:19-21
+        self.scheduler = Scheduler(engine_cfg, num_kv_blocks)
+        self._seqs: dict[int, Sequence] = {}
+        self.metrics = {
+            "prefill_tokens": 0,
+            "decode_tokens": 0,
+            "prefill_time": 0.0,
+            "decode_time": 0.0,
+            "preemptions": 0,
+            "cached_prompt_tokens": 0,
+        }
+
+    # ---- API -------------------------------------------------------------
+
+    def add_request(
+        self, prompt: Union[str, list[int]], sampling_params: SamplingParams
+    ) -> int:
+        token_ids = self.tokenizer.encode(prompt) if isinstance(prompt, str) else list(prompt)
+        if not token_ids:
+            raise ValueError("empty prompt")
+        if len(token_ids) + 1 > self.engine_cfg.max_model_len:
+            raise ValueError(
+                f"prompt of {len(token_ids)} tokens exceeds max_model_len="
+                f"{self.engine_cfg.max_model_len}"
+            )
+        seq = Sequence(token_ids, sampling_params, self.engine_cfg.kv_block_size)
+        self.scheduler.add(seq)
+        self._seqs[seq.seq_id] = seq
+        return seq.seq_id
+
+    def step(self) -> list[RequestOutput]:
+        seqs, is_prefill = self.scheduler.schedule()
+        if not seqs:
+            return []
+        t0 = time.perf_counter()
+        token_ids = self.runner.run(seqs, is_prefill)
+        dt = time.perf_counter() - t0
+        if is_prefill:
+            n = sum(len(s) - s.num_cached_tokens for s in seqs)
+            self.metrics["prefill_tokens"] += n
+            self.metrics["prefill_time"] += dt
+            self.metrics["cached_prompt_tokens"] += sum(s.num_cached_tokens for s in seqs)
+        else:
+            self.metrics["decode_tokens"] += len(seqs)
+            self.metrics["decode_time"] += dt
+        finished = self.scheduler.postprocess(seqs, token_ids)
+        outputs = []
+        for seq in finished:
+            text = self.tokenizer.decode(seq.completion_token_ids)
+            outputs.append(RequestOutput(seq, text))
+            del self._seqs[seq.seq_id]
+        return outputs
+
+    def is_finished(self) -> bool:
+        return self.scheduler.is_finished()
+
+    def generate(
+        self,
+        prompts: Seq[Union[str, list[int]]],
+        sampling_params: Union[SamplingParams, Seq[SamplingParams]],
+    ) -> list[RequestOutput]:
+        if isinstance(sampling_params, SamplingParams):
+            sampling_params = [sampling_params] * len(prompts)
+        ids = [self.add_request(p, sp) for p, sp in zip(prompts, sampling_params)]
+        order = {sid: i for i, sid in enumerate(ids)}
+        results: list[Optional[RequestOutput]] = [None] * len(prompts)
+        while not self.is_finished():
+            for out in self.step():
+                if out.seq_id in order:
+                    results[order[out.seq_id]] = out
+        assert all(r is not None for r in results)
+        return results  # type: ignore[return-value]
+
+    def throughput(self) -> dict:
+        m = self.metrics
+        return {
+            "prefill_tok_s": m["prefill_tokens"] / m["prefill_time"] if m["prefill_time"] else 0.0,
+            "decode_tok_s": m["decode_tokens"] / m["decode_time"] if m["decode_time"] else 0.0,
+            **m,
+        }
+
+    def close(self) -> None:
+        self.runner.close()

@@ -1,0 +1,308 @@
+"""Model runners: the scheduler↔device seam.
+
+Capability parity with /root/reference/nanovllm/model_runner.go (the
+`ModelRunner` interface + `MockModelRunner` test fake) and
+tensor_model_runner.go (the real bridge). The decisive differences from the
+reference (SURVEY.md §2.5-1/2):
+
+  - decode is ONE batched jitted step over all running sequences (the
+    reference loops sequences serially with batch=1);
+  - block tables index the physical paged KV pool on device;
+  - prefix-cache hits SKIP compute: prefill starts at num_cached_tokens;
+  - sampling runs on device, batched, with per-lane parameters.
+
+Shape discipline: decode always runs at [max_decode_slots] lanes; prefill
+chunk lengths and block-table widths are bucketed to powers of two, and each
+(bucket) shape is compiled once and cached. The KV pool (and Mamba state) is
+donated through every step, so it is updated in place in HBM.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Protocol
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanovllm_tpu.config import EngineConfig, ModelConfig, bucket_length
+from nanovllm_tpu.engine.sequence import Sequence
+from nanovllm_tpu.models import model as M
+from nanovllm_tpu.ops import kv_cache as kvc
+from nanovllm_tpu.ops import mamba2 as mamba_ops
+from nanovllm_tpu.ops import sampling as sampling_ops
+
+
+class ModelRunner(Protocol):
+    def run(self, seqs: list[Sequence], is_prefill: bool) -> list[int]: ...
+
+    def close(self) -> None: ...
+
+
+class MockModelRunner:
+    """Deterministic model-free runner for engine tests (reference
+    model_runner.go:19-50: deterministic tokens + periodic EOS)."""
+
+    def __init__(self, eos_token_id: int = 0, eos_every: int = 10):
+        self.eos_token_id = eos_token_id
+        self.eos_every = eos_every
+
+    def run(self, seqs: list[Sequence], is_prefill: bool) -> list[int]:
+        out = []
+        for seq in seqs:
+            n = seq.num_completion_tokens
+            if n > 0 and (n + 1) % self.eos_every == 0:
+                out.append(self.eos_token_id)
+            else:
+                out.append(1 + (seq.seq_id + n) % 97)
+        return out
+
+    def close(self) -> None:
+        pass
+
+
+def default_num_kv_blocks(mcfg: ModelConfig, ecfg: EngineConfig) -> int:
+    if ecfg.num_kv_blocks > 0:
+        return ecfg.num_kv_blocks
+    quant = ecfg.kv_cache_dtype == "int8"
+    n_attn = sum(
+        1 for i in range(mcfg.num_layers) if mcfg.layer_kind(i).value == "attention"
+    )
+    itemsize = (1 + 4.0 / mcfg.head_dim) if quant else jnp.dtype(mcfg.dtype).itemsize
+    bytes_per_block = int(
+        2 * max(n_attn, 1) * ecfg.kv_block_size * mcfg.num_kv_heads * mcfg.head_dim * itemsize
+    )
+    n = max(ecfg.kv_pool_bytes // bytes_per_block, 4)
+    # No point holding more blocks than every decode slot at full context can
+    # address (tiny test models would otherwise get multi-GB pools).
+    blocks_per_seq = math.ceil(ecfg.max_model_len / ecfg.kv_block_size)
+    n = min(n, ecfg.max_decode_slots * blocks_per_seq + 1)
+    # At minimum, enough blocks for one full-length sequence plus slack.
+    n = max(n, 2 * blocks_per_seq)
+    return int(n)
+
+
+class TPUModelRunner:
+    """Runs the jitted prefill/decode/sample programs against the paged pool."""
+
+    def __init__(
+        self,
+        model_cfg: ModelConfig,
+        engine_cfg: EngineConfig,
+        params: Optional[dict] = None,
+        num_kv_blocks: Optional[int] = None,
+    ):
+        self.mcfg = model_cfg
+        self.ecfg = engine_cfg
+        self.params = params if params is not None else M.init_params(model_cfg)
+        self.num_kv_blocks = num_kv_blocks or default_num_kv_blocks(model_cfg, engine_cfg)
+        bs = engine_cfg.kv_block_size
+        self.block_size = bs
+        self.num_slots_flat = self.num_kv_blocks * bs
+        S = engine_cfg.max_decode_slots
+        self.S = S
+
+        self.pool = kvc.create_kv_pool(
+            model_cfg.num_layers,
+            self.num_kv_blocks,
+            bs,
+            model_cfg.num_kv_heads,
+            model_cfg.head_dim,
+            dtype=jnp.dtype(model_cfg.dtype),
+            quantized=engine_cfg.kv_cache_dtype == "int8",
+        )
+        self.mamba_state = (
+            mamba_ops.create_mamba_state(model_cfg, S) if model_cfg.is_hybrid else None
+        )
+
+        # On-device sampling state, one row per decode slot.
+        L = engine_cfg.max_model_len + 8
+        self.history = jnp.full((S, L), model_cfg.vocab_size, jnp.int32)
+        # Host mirrors of per-slot sampling params.
+        self.h_temps = np.ones((S,), np.float32)
+        self.h_topks = np.zeros((S,), np.int32)
+        self.h_topps = np.ones((S,), np.float32)
+        self.h_reps = np.ones((S,), np.float32)
+        self.h_seeds = np.zeros((S,), np.uint32)
+        self.h_hist_lens = np.zeros((S,), np.int32)
+        self.step_counter = 0
+
+        self.max_blocks_per_seq = math.ceil(engine_cfg.max_model_len / bs)
+        self._prefill_cache: dict = {}
+        self._decode_cache: dict = {}
+        self._sample_fn = jax.jit(sampling_ops.sample)
+
+    # ---- compiled-program factories -------------------------------------
+
+    def _get_prefill(self, T: int, nb: int):
+        key = (T, nb)
+        if key not in self._prefill_cache:
+            cfg = self.mcfg
+
+            bs = self.ecfg.kv_block_size
+
+            def fn(params, tokens, positions, valid_len, context_len, block_table, slot_mapping, pool, mamba_state, slot_idx):
+                return M.prefill_chunk(
+                    params, cfg, tokens, positions, valid_len, context_len,
+                    block_table, slot_mapping, pool, mamba_state, slot_idx, bs,
+                )
+
+            self._prefill_cache[key] = jax.jit(fn, donate_argnums=(7, 8))
+        return self._prefill_cache[key]
+
+    def _get_decode(self, nb: int):
+        if nb not in self._decode_cache:
+            cfg = self.mcfg
+
+            bs = self.ecfg.kv_block_size
+
+            def fn(params, tokens, positions, context_lens, block_tables, slot_mapping, pool, mamba_state):
+                return M.decode_step(
+                    params, cfg, tokens, positions, context_lens, block_tables,
+                    slot_mapping, pool, mamba_state, bs,
+                )
+
+            self._decode_cache[nb] = jax.jit(fn, donate_argnums=(6, 7))
+        return self._decode_cache[nb]
+
+    # ---- prefill ---------------------------------------------------------
+
+    def _prefill_one(self, seq: Sequence) -> jnp.ndarray:
+        start = seq.num_cached_tokens
+        chunk = seq.token_ids[start:]
+        T_real = len(chunk)
+        Tb = bucket_length(T_real, self.ecfg.min_prefill_bucket, self.ecfg.max_model_len)
+        ctx_blocks = len(seq.block_table)
+        nb = bucket_length(ctx_blocks, 1, self.max_blocks_per_seq)
+
+        tokens = np.zeros((Tb,), np.int32)
+        tokens[:T_real] = chunk
+        positions = np.arange(start, start + Tb, dtype=np.int32)
+        block_table = np.zeros((nb,), np.int32)
+        block_table[:ctx_blocks] = seq.block_table
+        slot_mapping = kvc.make_slot_mapping(
+            block_table, start, T_real, self.block_size, Tb, self.num_slots_flat
+        )
+        fn = self._get_prefill(Tb, nb)
+        logits, self.pool, new_mamba = fn(
+            self.params,
+            jnp.asarray(tokens),
+            jnp.asarray(positions),
+            jnp.int32(T_real),
+            jnp.int32(len(seq)),
+            jnp.asarray(block_table),
+            jnp.asarray(slot_mapping),
+            self.pool,
+            self.mamba_state,
+            jnp.int32(seq.slot if seq.slot is not None else 0),
+        )
+        if self.mamba_state is not None:
+            self.mamba_state = new_mamba
+        return logits
+
+    def _setup_slot(self, seq: Sequence) -> None:
+        s = seq.slot
+        sp = seq.sampling_params
+        self.h_temps[s] = sp.temperature
+        self.h_topks[s] = sp.top_k
+        self.h_topps[s] = sp.top_p
+        self.h_reps[s] = sp.repetition_penalty
+        self.h_seeds[s] = np.uint32((sp.seed if sp.seed is not None else seq.seq_id) & 0xFFFFFFFF)
+        row = np.full((self.history.shape[1],), self.mcfg.vocab_size, np.int32)
+        row[: len(seq)] = seq.token_ids
+        self.h_hist_lens[s] = len(seq)
+        self.history = self.history.at[s].set(jnp.asarray(row))
+
+    # ---- public API ------------------------------------------------------
+
+    def run(self, seqs: list[Sequence], is_prefill: bool) -> list[int]:
+        if is_prefill:
+            return self._run_prefill(seqs)
+        return self._run_decode(seqs)
+
+    def _run_prefill(self, seqs: list[Sequence]) -> list[int]:
+        logits_rows = []
+        for seq in seqs:
+            self._setup_slot(seq)
+            logits_rows.append(self._prefill_one(seq))
+        n = len(seqs)
+        nb_batch = bucket_length(n, 1, max(self.S, n))
+        logits = jnp.stack(logits_rows)
+        if nb_batch > n:
+            logits = jnp.pad(logits, ((0, nb_batch - n), (0, 0)))
+        slots = np.array([s.slot for s in seqs] + [0] * (nb_batch - n), np.int32)
+        tokens = self._sample_for(logits, slots)
+        out = [int(t) for t in tokens[:n]]
+        self._append_history(seqs, out)
+        return out
+
+    def _run_decode(self, seqs: list[Sequence]) -> list[int]:
+        S = self.S
+        tokens = np.zeros((S,), np.int32)
+        positions = np.zeros((S,), np.int32)
+        context_lens = np.ones((S,), np.int32)
+        max_nb = max(len(s.block_table) for s in seqs)
+        nb = bucket_length(max_nb, 1, self.max_blocks_per_seq)
+        block_tables = np.zeros((S, nb), np.int32)
+        slot_mapping = np.full((S,), self.num_slots_flat, np.int32)
+        for seq in seqs:
+            s = seq.slot
+            n = len(seq)
+            tokens[s] = seq.token_ids[-1]
+            positions[s] = n - 1
+            context_lens[s] = n
+            block_tables[s, : len(seq.block_table)] = seq.block_table
+            b = seq.block_table[(n - 1) // self.block_size]
+            slot_mapping[s] = b * self.block_size + (n - 1) % self.block_size
+
+        fn = self._get_decode(nb)
+        logits, self.pool, new_mamba = fn(
+            self.params,
+            jnp.asarray(tokens),
+            jnp.asarray(positions),
+            jnp.asarray(context_lens),
+            jnp.asarray(block_tables),
+            jnp.asarray(slot_mapping),
+            self.pool,
+            self.mamba_state,
+        )
+        if self.mamba_state is not None:
+            self.mamba_state = new_mamba
+        slots = np.arange(S, dtype=np.int32)
+        sampled = self._sample_for(logits, slots)
+        out = []
+        for seq in seqs:
+            out.append(int(sampled[seq.slot]))
+        self._append_history(seqs, out)
+        return out
+
+    def _sample_for(self, logits: jnp.ndarray, slots: np.ndarray) -> np.ndarray:
+        self.step_counter += 1
+        hist = self.history[jnp.asarray(slots)]
+        toks = self._sample_fn(
+            logits.astype(jnp.float32),
+            hist,
+            jnp.asarray(self.h_hist_lens[slots]),
+            jnp.asarray(self.h_temps[slots]),
+            jnp.asarray(self.h_topks[slots]),
+            jnp.asarray(self.h_topps[slots]),
+            jnp.asarray(self.h_reps[slots]),
+            jnp.asarray(self.h_seeds[slots]),
+            jnp.int32(self.step_counter),
+        )
+        return np.asarray(jax.device_get(toks))
+
+    def _append_history(self, seqs: list[Sequence], tokens: list[int]) -> None:
+        if not seqs:
+            return
+        slots = jnp.asarray(np.array([s.slot for s in seqs], np.int32))
+        lens = jnp.asarray(self.h_hist_lens[[s.slot for s in seqs]])
+        vals = jnp.asarray(np.array(tokens, np.int32))
+        self.history = self.history.at[slots, lens].set(vals)
+        for s in seqs:
+            self.h_hist_lens[s.slot] += 1
+
+    def close(self) -> None:
+        pass

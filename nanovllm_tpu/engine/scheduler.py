@@ -1,0 +1,136 @@
+"""Continuous-batching scheduler: prefill-priority admission, decode with
+preemption-from-back, EOS/max-token termination.
+
+Capability parity with /root/reference/nanovllm/scheduler.go — prefill
+admission bounded by token/sequence budgets (:51-67), decode pass with
+preemption when blocks run out (:74-100), preempted victims requeued at the
+front of the waiting queue (:115-119), postprocess termination rules
+(:122-139). Extended for the TPU runner: running sequences additionally hold
+a fixed decode-slot lane (bounded by EngineConfig.max_decode_slots) so the
+batched decode step keeps a static shape, and stop-token-id sets are honored
+(the reference only checks a single EOS).
+"""
+
+from __future__ import annotations
+
+from collections import deque
+
+from nanovllm_tpu.config import EngineConfig
+from nanovllm_tpu.engine.block_manager import BlockManager
+from nanovllm_tpu.engine.sequence import Sequence, SequenceStatus
+
+
+class Scheduler:
+    def __init__(self, config: EngineConfig, num_kv_blocks: int):
+        self.config = config
+        self.max_num_seqs = min(config.max_num_seqs, config.max_decode_slots)
+        self.max_num_batched_tokens = config.max_num_batched_tokens
+        self.eos_token_id = config.eos_token_id
+        self.block_manager = BlockManager(
+            num_kv_blocks, config.kv_block_size, config.enable_prefix_caching
+        )
+        self.waiting: deque[Sequence] = deque()
+        self.running: deque[Sequence] = deque()
+        self.free_slots: list[int] = list(range(config.max_decode_slots - 1, -1, -1))
+
+    def add(self, seq: Sequence) -> None:
+        self.waiting.append(seq)
+
+    def is_finished(self) -> bool:
+        return not self.waiting and not self.running
+
+    def num_waiting(self) -> int:
+        return len(self.waiting)
+
+    def num_running(self) -> int:
+        return len(self.running)
+
+    def schedule(self) -> tuple[list[Sequence], bool]:
+        """Returns (sequences, is_prefill). Prefill-first: admit waiting
+        sequences while budgets hold; otherwise run one decode step over the
+        running set (preempting from the back if blocks are exhausted)."""
+        # --- Prefill branch ---
+        scheduled: list[Sequence] = []
+        num_batched_tokens = 0
+        while self.waiting and len(self.running) + len(scheduled) < self.max_num_seqs:
+            seq = self.waiting[0]
+            new_tokens = len(seq)  # worst case (cache hits discovered at allocate)
+            if num_batched_tokens + new_tokens > self.max_num_batched_tokens:
+                break
+            if not self.block_manager.can_allocate(seq) or not self.free_slots:
+                break
+            self.waiting.popleft()
+            self.block_manager.allocate(seq)
+            seq.num_cached_tokens = min(seq.num_cached_tokens, len(seq) - 1)
+            seq.slot = self.free_slots.pop()
+            seq.status = SequenceStatus.RUNNING
+            num_batched_tokens += len(seq) - seq.num_cached_tokens
+            scheduled.append(seq)
+        if scheduled:
+            self.running.extend(scheduled)
+            return scheduled, True
+
+        # --- Decode branch ---
+        decode: list[Sequence] = []
+        n = len(self.running)
+        for _ in range(n):
+            if not self.running:
+                break
+            seq = self.running.popleft()
+            preempted_self = False
+            while not self.block_manager.can_append(seq):
+                if self.running:
+                    self._preempt(self.running.pop())
+                else:
+                    self._preempt(seq)
+                    preempted_self = True
+                    break
+            if preempted_self:
+                continue
+            self.block_manager.may_append(seq)
+            decode.append(seq)
+        self.running.extend(decode)
+        if not decode and self.waiting and not self.running:
+            # Prefill already failed this call with every resource free: the
+            # head sequence can never be admitted (pool too small). The
+            # reference panics here too (scheduler.go:103).
+            seq = self.waiting[0]
+            raise RuntimeError(
+                f"unschedulable sequence: needs {seq.num_blocks} blocks, pool has "
+                f"{self.block_manager.num_blocks} total"
+            )
+        return decode, False
+
+    def _preempt(self, seq: Sequence) -> None:
+        seq.status = SequenceStatus.WAITING
+        self.block_manager.deallocate(seq)
+        if seq.slot is not None:
+            self.free_slots.append(seq.slot)
+            seq.slot = None
+        self.waiting.appendleft(seq)
+
+    def postprocess(self, seqs: list[Sequence], token_ids: list[int]) -> list[Sequence]:
+        """Append sampled tokens; finish on EOS/stop-token (unless ignore_eos)
+        or max_tokens. NOTE: may_append for the new token happens at the NEXT
+        schedule() call, matching the reference's ordering."""
+        finished = []
+        for seq, token_id in zip(seqs, token_ids):
+            seq.append_token(token_id)
+            sp = seq.sampling_params
+            stop_ids = set(sp.stop_token_ids)
+            if self.eos_token_id >= 0:
+                stop_ids.add(self.eos_token_id)
+            if not sp.ignore_eos and token_id in stop_ids:
+                seq.finish_reason = "stop"
+            elif seq.num_completion_tokens >= sp.max_tokens:
+                seq.finish_reason = "length"
+            else:
+                continue
+            seq.status = SequenceStatus.FINISHED
+            self.block_manager.deallocate(seq)
+            if seq.slot is not None:
+                self.free_slots.append(seq.slot)
+                seq.slot = None
+            self.running.remove(seq)
+            finished.append(seq)
+        return finished

@@ -1,0 +1,375 @@
+"""Safetensors checkpoint loading + per-architecture weight mapping.
+
+Capability parity with /root/reference/purego/tensor/generic_loader.go (the
+reference's largest component): single-file and sharded-index safetensors
+(:184, :1042), per-arch key schemas (:60-181), fused-QKV splits (GPT-2 column
+split :674-702; Falcon de-interleave :705-748), PyTorch [out,in]→[in,out]
+transposes, F32/F16/BF16 ingestion (:769-805). Re-designed as per-arch
+converter functions over a flat numpy state dict instead of declarative
+tables, with weight-only INT8/INT4 quantization applied at load time (new
+capability, BASELINE.json).
+
+Falcon QKV note: for `multi_query` checkpoints (Falcon-7B) the fused rows are
+[Q_head0..Q_head{H-1}, K, V] — a plain split; for `new_decoder_architecture`
+(Falcon-40B) rows interleave per KV-group [q*group, k, v] and are
+de-interleaved here (the reference's historical garbage-output bug site,
+docs/changes/FALCON_SUCCESS.md:28-31).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+import numpy as np
+
+from nanovllm_tpu.config import ActivationType, LayerKind, ModelConfig, PositionType
+from nanovllm_tpu.io.hf_config import load_hf_config, model_config_from_hf
+from nanovllm_tpu.ops import quant as quant_ops
+from nanovllm_tpu.ops.rope import compute_inv_freq
+
+
+# ---------------------------------------------------------------------------
+# Safetensors reading
+# ---------------------------------------------------------------------------
+
+
+def read_safetensors_dir(model_dir: str) -> dict[str, np.ndarray]:
+    """Load all tensors from model.safetensors or a sharded
+    model.safetensors.index.json (reference generic_loader.go:1030-1034)."""
+    from safetensors import safe_open
+
+    index_path = os.path.join(model_dir, "model.safetensors.index.json")
+    files: list[str]
+    if os.path.exists(index_path):
+        with open(index_path) as f:
+            index = json.load(f)
+        files = sorted(set(index["weight_map"].values()))
+    else:
+        single = os.path.join(model_dir, "model.safetensors")
+        if not os.path.exists(single):
+            cands = [f for f in os.listdir(model_dir) if f.endswith(".safetensors")]
+            if not cands:
+                raise FileNotFoundError(f"no safetensors files in {model_dir}")
+            files = sorted(cands)
+        else:
+            files = ["model.safetensors"]
+    out: dict[str, np.ndarray] = {}
+    for fname in files:
+        path = os.path.join(model_dir, fname)
+        with safe_open(path, framework="np") as f:
+            for k in f.keys():
+                t = f.get_tensor(k)
+                if t.dtype == np.float16 or str(t.dtype) == "bfloat16":
+                    t = t.astype(np.float32)
+                out[k] = t
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Converters: HF state dict -> nanovllm_tpu params pytree (numpy)
+# ---------------------------------------------------------------------------
+
+
+def _lin_t(sd: dict, key: str, bias_key: str | None = None) -> dict:
+    """HF nn.Linear stores [out, in] -> ours [in, out]."""
+    p = {"w": np.ascontiguousarray(sd[key].T)}
+    if bias_key and bias_key in sd:
+        p["b"] = sd[bias_key]
+    return p
+
+
+def _lin(sd: dict, key: str, bias_key: str | None = None) -> dict:
+    """GPT-2 Conv1D already stores [in, out]."""
+    p = {"w": sd[key]}
+    if bias_key and bias_key in sd:
+        p["b"] = sd[bias_key]
+    return p
+
+
+def _norm(sd: dict, key: str) -> dict:
+    p = {"scale": sd[key + ".weight"]}
+    if key + ".bias" in sd:
+        p["bias"] = sd[key + ".bias"]
+    return p
+
+
+def convert_gpt2(sd: dict, cfg: ModelConfig) -> dict:
+    E = cfg.hidden_size
+    params = {
+        "embed": sd["transformer.wte.weight"],
+        "pos_embed": sd["transformer.wpe.weight"],
+        "final_norm": _norm(sd, "transformer.ln_f"),
+        "blocks": [],
+    }
+    for i in range(cfg.num_layers):
+        p = f"transformer.h.{i}"
+        w = sd[f"{p}.attn.c_attn.weight"]  # [E, 3E] fused (Conv1D layout)
+        b = sd.get(f"{p}.attn.c_attn.bias")
+        q_w, k_w, v_w = np.split(w, 3, axis=1)  # column split (ref :674-702)
+        blk = {
+            "ln1": _norm(sd, f"{p}.ln_1"),
+            "attn": {
+                "q": {"w": q_w},
+                "k": {"w": k_w},
+                "v": {"w": v_w},
+                "o": _lin(sd, f"{p}.attn.c_proj.weight", f"{p}.attn.c_proj.bias"),
+            },
+            "ln2": _norm(sd, f"{p}.ln_2"),
+            "mlp": {
+                "up": _lin(sd, f"{p}.mlp.c_fc.weight", f"{p}.mlp.c_fc.bias"),
+                "down": _lin(sd, f"{p}.mlp.c_proj.weight", f"{p}.mlp.c_proj.bias"),
+            },
+        }
+        if b is not None:
+            qb, kb, vb = np.split(b, 3)
+            blk["attn"]["q"]["b"] = qb
+            blk["attn"]["k"]["b"] = kb
+            blk["attn"]["v"]["b"] = vb
+        params["blocks"].append(blk)
+    return params
+
+
+def convert_llama(sd: dict, cfg: ModelConfig) -> dict:
+    """Llama 3.x / Mistral (same key schema; reference :99-117)."""
+    params = {
+        "embed": sd["model.embed_tokens.weight"],
+        "final_norm": _norm(sd, "model.norm"),
+        "blocks": [],
+    }
+    if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
+        params["lm_head"] = _lin_t(sd, "lm_head.weight")
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}"
+        gate = sd[f"{p}.mlp.gate_proj.weight"].T  # [E, I]
+        up = sd[f"{p}.mlp.up_proj.weight"].T
+        blk = {
+            "ln1": _norm(sd, f"{p}.input_layernorm"),
+            "attn": {
+                "q": _lin_t(sd, f"{p}.self_attn.q_proj.weight", f"{p}.self_attn.q_proj.bias"),
+                "k": _lin_t(sd, f"{p}.self_attn.k_proj.weight", f"{p}.self_attn.k_proj.bias"),
+                "v": _lin_t(sd, f"{p}.self_attn.v_proj.weight", f"{p}.self_attn.v_proj.bias"),
+                "o": _lin_t(sd, f"{p}.self_attn.o_proj.weight"),
+            },
+            "ln2": _norm(sd, f"{p}.post_attention_layernorm"),
+            "mlp": {
+                # gate-first concat (SwiGLU ordering bug site, BUGFIX_SWIGLU.md)
+                "up": {"w": np.concatenate([gate, up], axis=1)},
+                "down": _lin_t(sd, f"{p}.mlp.down_proj.weight"),
+            },
+        }
+        params["blocks"].append(blk)
+    return params
+
+
+def split_falcon_qkv(
+    w: np.ndarray, num_heads: int, num_kv_heads: int, head_dim: int, new_decoder_arch: bool
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """w is HF fused [ (H + 2*Hkv) * D, E ] (row-major out-dim). Returns
+    (q [H*D, E], k [Hkv*D, E], v [Hkv*D, E])."""
+    E = w.shape[1]
+    D = head_dim
+    if not new_decoder_arch:
+        # multi_query (Falcon-7B): rows are [Q0..Q{H-1}, K, V].
+        q = w[: num_heads * D]
+        k = w[num_heads * D : (num_heads + num_kv_heads) * D]
+        v = w[(num_heads + num_kv_heads) * D :]
+        return q, k, v
+    # new_decoder_architecture (Falcon-40B): per KV-group interleave
+    # [q*group, k, v] repeated num_kv_heads times.
+    group = num_heads // num_kv_heads
+    w4 = w.reshape(num_kv_heads, group + 2, D, E)
+    q = w4[:, :group].reshape(num_heads * D, E)
+    k = w4[:, group].reshape(num_kv_heads * D, E)
+    v = w4[:, group + 1].reshape(num_kv_heads * D, E)
+    return q, k, v
+
+
+def convert_falcon(sd: dict, cfg: ModelConfig) -> dict:
+    params = {
+        "embed": sd["transformer.word_embeddings.weight"],
+        "final_norm": _norm(sd, "transformer.ln_f"),
+        "blocks": [],
+    }
+    if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
+        params["lm_head"] = _lin_t(sd, "lm_head.weight")
+    for i in range(cfg.num_layers):
+        p = f"transformer.h.{i}"
+        qkv = sd[f"{p}.self_attention.query_key_value.weight"]
+        q, k, v = split_falcon_qkv(
+            qkv, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, new_decoder_arch=False
+        )
+        blk = {
+            "ln1": _norm(sd, f"{p}.input_layernorm"),
+            "attn": {
+                "q": {"w": np.ascontiguousarray(q.T)},
+                "k": {"w": np.ascontiguousarray(k.T)},
+                "v": {"w": np.ascontiguousarray(v.T)},
+                "o": _lin_t(sd, f"{p}.self_attention.dense.weight"),
+            },
+            "mlp": {
+                "up": _lin_t(sd, f"{p}.mlp.dense_h_to_4h.weight", f"{p}.mlp.dense_h_to_4h.bias"),
+                "down": _lin_t(sd, f"{p}.mlp.dense_4h_to_h.weight", f"{p}.mlp.dense_4h_to_h.bias"),
+            },
+        }
+        params["blocks"].append(blk)
+    return params
+
+
+def convert_granite_moe(sd: dict, cfg: ModelConfig) -> dict:
+    """Granite 3.0 MoE (reference :119-143). Expert weights are stored
+    expert-major [X, out, in] — transposed here to [X, in, out]."""
+    params = {
+        "embed": sd["model.embed_tokens.weight"],
+        "final_norm": _norm(sd, "model.norm"),
+        "blocks": [],
+    }
+    if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
+        params["lm_head"] = _lin_t(sd, "lm_head.weight")
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}"
+        blk = {
+            "ln1": _norm(sd, f"{p}.input_layernorm"),
+            "attn": {
+                "q": _lin_t(sd, f"{p}.self_attn.q_proj.weight"),
+                "k": _lin_t(sd, f"{p}.self_attn.k_proj.weight"),
+                "v": _lin_t(sd, f"{p}.self_attn.v_proj.weight"),
+                "o": _lin_t(sd, f"{p}.self_attn.o_proj.weight"),
+            },
+            "ln2": _norm(sd, f"{p}.post_attention_layernorm"),
+            "moe": {
+                "router": _lin_t(sd, f"{p}.block_sparse_moe.router.layer.weight"),
+                "gate_up": np.ascontiguousarray(
+                    sd[f"{p}.block_sparse_moe.input_linear.weight"].transpose(0, 2, 1)
+                ),
+                "down": np.ascontiguousarray(
+                    sd[f"{p}.block_sparse_moe.output_linear.weight"].transpose(0, 2, 1)
+                ),
+            },
+        }
+        params["blocks"].append(blk)
+    return params
+
+
+def convert_granite_hybrid(sd: dict, cfg: ModelConfig) -> dict:
+    """Granite 4.0 hybrid: Mamba2 mixer layers + (rope-less) attention layers,
+    shared SwiGLU MLP on every layer (reference mamba2 keys :49-56,146-181)."""
+    params = {
+        "embed": sd["model.embed_tokens.weight"],
+        "final_norm": _norm(sd, "model.norm"),
+        "blocks": [],
+    }
+    if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
+        params["lm_head"] = _lin_t(sd, "lm_head.weight")
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}"
+        blk: dict = {
+            "ln1": _norm(sd, f"{p}.input_layernorm"),
+            "ln2": _norm(sd, f"{p}.post_attention_layernorm"),
+        }
+        if cfg.layer_kind(i) == LayerKind.MAMBA2:
+            conv_w = sd[f"{p}.mamba.conv1d.weight"]  # [conv_dim, 1, K]
+            blk["mamba"] = {
+                "in_proj": _lin_t(sd, f"{p}.mamba.in_proj.weight"),
+                "conv_w": np.ascontiguousarray(conv_w[:, 0, :].T),  # [K, conv_dim]
+                "conv_b": sd.get(
+                    f"{p}.mamba.conv1d.bias",
+                    np.zeros((conv_w.shape[0],), np.float32),
+                ),
+                "A_log": sd[f"{p}.mamba.A_log"],
+                "D": sd[f"{p}.mamba.D"],
+                "dt_bias": sd[f"{p}.mamba.dt_bias"],
+                "norm_scale": sd[f"{p}.mamba.norm.weight"],
+                "out_proj": _lin_t(sd, f"{p}.mamba.out_proj.weight"),
+            }
+        else:
+            blk["attn"] = {
+                "q": _lin_t(sd, f"{p}.self_attn.q_proj.weight"),
+                "k": _lin_t(sd, f"{p}.self_attn.k_proj.weight"),
+                "v": _lin_t(sd, f"{p}.self_attn.v_proj.weight"),
+                "o": _lin_t(sd, f"{p}.self_attn.o_proj.weight"),
+            }
+        if cfg.num_experts and f"{p}.block_sparse_moe.router.layer.weight" in sd:
+            blk["moe"] = {
+                "router": _lin_t(sd, f"{p}.block_sparse_moe.router.layer.weight"),
+                "gate_up": np.ascontiguousarray(
+                    sd[f"{p}.block_sparse_moe.input_linear.weight"].transpose(0, 2, 1)
+                ),
+                "down": np.ascontiguousarray(
+                    sd[f"{p}.block_sparse_moe.output_linear.weight"].transpose(0, 2, 1)
+                ),
+            }
+            blk["moe"]["shared"] = {
+                "up": _lin_t(sd, f"{p}.shared_mlp.input_linear.weight"),
+                "down": _lin_t(sd, f"{p}.shared_mlp.output_linear.weight"),
+            }
+        else:
+            blk["mlp"] = {
+                "up": _lin_t(sd, f"{p}.shared_mlp.input_linear.weight"),
+                "down": _lin_t(sd, f"{p}.shared_mlp.output_linear.weight"),
+            }
+        params["blocks"].append(blk)
+    return params
+
+
+CONVERTERS: dict[str, Callable[[dict, ModelConfig], dict]] = {
+    "gpt2": convert_gpt2,
+    "llama": convert_llama,
+    "mistral": convert_llama,
+    "falcon": convert_falcon,
+    "granitemoe": convert_granite_moe,
+    "granitemoeshared": convert_granite_moe,
+    "granitemoehybrid": convert_granite_hybrid,
+}
+
+
+# ---------------------------------------------------------------------------
+# Quantization at load time
+# ---------------------------------------------------------------------------
+
+_QUANT_MIN_SIZE = 256 * 256  # leave tiny projections (routers etc.) dense
+
+
+def quantize_params(params: dict, mode: str) -> dict:
+    """Convert eligible dense linear weights to INT8/INT4. Embeddings, norms,
+    Mamba SSM params and small matrices stay dense."""
+    if mode == "none":
+        return params
+
+    def walk(node, path=()):
+        if isinstance(node, dict):
+            if "w" in node and isinstance(node["w"], np.ndarray) and node["w"].ndim == 2:
+                w = node["w"]
+                name = path[-1] if path else ""
+                if w.size >= _QUANT_MIN_SIZE and name not in ("router",):
+                    return quant_ops.QuantLinear.from_dense(w, node.get("b"), mode)
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, path) for v in node]
+        return node
+
+    return walk(params)
+
+
+# ---------------------------------------------------------------------------
+# Entry point
+# ---------------------------------------------------------------------------
+
+
+def load_model_dir(
+    model_dir: str, dtype: str = "bfloat16", quantization: str = "none"
+) -> tuple[ModelConfig, dict]:
+    """Load config + weights from an HF-format directory; returns
+    (ModelConfig, device params). Reference: LoadModelFromDirectory
+    (generic_loader.go:1016-1039)."""
+    from nanovllm_tpu.models.model import to_device_params
+
+    hf_cfg = load_hf_config(model_dir)
+    cfg = model_config_from_hf(hf_cfg, dtype=dtype)
+    sd = read_safetensors_dir(model_dir)
+    converter = CONVERTERS[cfg.model_type]
+    params = converter(sd, cfg)
+    params["rope_inv_freq"] = compute_inv_freq(cfg.rotary_dim, cfg.rope_theta, cfg.rope_scaling)
+    params = quantize_params(params, quantization)
+    return cfg, to_device_params(params, cfg)

@@ -1,0 +1,356 @@
+"""Generic transformer forward over a paged KV pool.
+
+The TPU-native counterpart of the reference's TransformerModel
+(/root/reference/purego/tensor/generic_model.go) — one assembly covering
+GPT-2 (MHA, learned positions, GELU, LayerNorm), Llama 3.x (GQA, RoPE,
+SwiGLU, RMSNorm), Granite MoE (GQA + top-k experts + muP multipliers),
+Falcon (MQA, parallel blocks), Mistral (sliding-window GQA) and Granite 4.0
+hybrid (Mamba2 layers interleaved with attention) — but functional and
+shape-stable:
+
+  - `prefill_chunk`: one sequence's (possibly prefix-cached) prompt chunk,
+    padded to a length bucket; writes K/V into the pool via slot mapping and
+    attends over the pool window, so chunked prefill and prefix-cache reuse
+    fall out of the same code path. Unlike the reference, prefix-cache hits
+    actually SKIP computation (the reference always recomputes the full
+    prompt — SURVEY.md §2.5-1).
+  - `decode_step`: fixed-size batch of single-token steps over block tables
+    (real continuous batching at the model level; the reference loops
+    sequences serially — SURVEY.md §2.5-2).
+
+Both are pure functions of (params, pool, inputs) → (outputs, pool) and are
+jitted by the runner with the pool donated.
+
+muP details follow the reference exactly (generic_model.go:298-301 embedding
+multiplier, :320-325 residual multiplier on both branches, :473-477 logits
+DIVIDED by logits_scaling; attention_multiplier as the softmax scale,
+attention.go:360-364).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanovllm_tpu.config import (
+    ActivationType,
+    BlockStyle,
+    LayerKind,
+    ModelConfig,
+    NormType,
+    PositionType,
+)
+from nanovllm_tpu.ops import kv_cache as kvc
+from nanovllm_tpu.ops.activations import gelu_tanh, swiglu
+from nanovllm_tpu.ops.attention import attention_chunk, attention_decode
+from nanovllm_tpu.ops.linear import linear
+from nanovllm_tpu.ops.norms import apply_norm
+from nanovllm_tpu.ops.rope import apply_rope, compute_inv_freq, rope_cos_sin
+from nanovllm_tpu.ops import moe as moe_ops
+from nanovllm_tpu.ops import mamba2 as mamba_ops
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (random weights — used by tests and benchmarks;
+# real checkpoints come from io/safetensors_loader.py)
+# ---------------------------------------------------------------------------
+
+
+def init_params(cfg: ModelConfig, seed: int = 0, numpy: bool = False) -> dict:
+    """Random params. numpy=True returns the host-side pytree (for
+    quantization before device placement)."""
+    rng = np.random.default_rng(seed)
+    dt = np.dtype(jnp.dtype(cfg.dtype).name) if cfg.dtype != "bfloat16" else np.float32
+
+    def dense(n_in, n_out, bias):
+        p = {"w": (rng.standard_normal((n_in, n_out)) * (0.02)).astype(np.float32)}
+        if bias:
+            p["b"] = np.zeros((n_out,), np.float32)
+        return p
+
+    def norm(n, with_bias):
+        p = {"scale": np.ones((n,), np.float32)}
+        if with_bias:
+            p["bias"] = np.zeros((n,), np.float32)
+        return p
+
+    E = cfg.hidden_size
+    D = cfg.head_dim
+    ln_bias = cfg.norm_type == NormType.LAYERNORM
+    params: dict = {
+        "embed": (rng.standard_normal((cfg.vocab_size, E)) * 0.02).astype(np.float32),
+    }
+    if cfg.position_type == PositionType.LEARNED:
+        params["pos_embed"] = (rng.standard_normal((cfg.max_seq_len, E)) * 0.01).astype(np.float32)
+    blocks = []
+    for i in range(cfg.num_layers):
+        if cfg.layer_kind(i) == LayerKind.MAMBA2:
+            blocks.append(
+                {
+                    "ln1": norm(E, ln_bias),
+                    "mamba": mamba_ops.init_mamba_params(cfg, rng),
+                    "ln2": norm(E, ln_bias),
+                    "mlp": _init_mlp(cfg, rng, dense),
+                }
+            )
+            continue
+        blk = {
+            "ln1": norm(E, ln_bias),
+            "attn": {
+                "q": dense(E, cfg.num_heads * D, cfg.attn_bias),
+                "k": dense(E, cfg.num_kv_heads * D, cfg.attn_bias),
+                "v": dense(E, cfg.num_kv_heads * D, cfg.attn_bias),
+                "o": dense(cfg.num_heads * D, E, cfg.attn_bias),
+            },
+        }
+        if not (cfg.block_style == BlockStyle.PARALLEL and cfg.parallel_single_ln):
+            blk["ln2"] = norm(E, ln_bias)
+        if cfg.num_experts:
+            blk["moe"] = moe_ops.init_moe_params(cfg, rng)
+        else:
+            blk["mlp"] = _init_mlp(cfg, rng, dense)
+        blocks.append(blk)
+    params["blocks"] = blocks
+    params["final_norm"] = norm(E, ln_bias)
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense(E, cfg.vocab_size, bias=False)
+    params["rope_inv_freq"] = compute_inv_freq(cfg.rotary_dim, cfg.rope_theta, cfg.rope_scaling)
+    if numpy:
+        return params
+    return to_device_params(params, cfg)
+
+
+def _init_mlp(cfg: ModelConfig, rng, dense):
+    E, I = cfg.hidden_size, cfg.intermediate_size
+    if cfg.activation == ActivationType.SWIGLU:
+        return {"up": dense(E, 2 * I, cfg.mlp_bias), "down": dense(I, E, cfg.mlp_bias)}
+    return {"up": dense(E, I, cfg.mlp_bias), "down": dense(I, E, cfg.mlp_bias)}
+
+
+FP32_PARAM_NAMES = (
+    "scale", "bias", "rope_inv_freq", "b", "A_log", "D", "dt_bias", "norm_scale",
+)
+
+
+def to_device_params(params, cfg: ModelConfig):
+    """Cast float weights to cfg.dtype (norm scales / biases / rope tables /
+    quantization scales stay fp32) and move to device arrays."""
+    from nanovllm_tpu.ops.quant import QuantLinear
+
+    dt = jnp.dtype(cfg.dtype)
+
+    def leaf(x, keep_fp32: bool):
+        x = np.asarray(x) if not isinstance(x, jnp.ndarray) else x
+        if keep_fp32 or x.dtype.kind in "iu":
+            return jnp.asarray(x)
+        return jnp.asarray(x, dtype=dt)
+
+    def walk(node, name=""):
+        if isinstance(node, QuantLinear):
+            return QuantLinear(
+                leaf(node.qw, False),
+                leaf(node.scale, True),
+                None if node.b is None else leaf(node.b, True),
+                node.mode, node.n_in, node.n_out,
+            )
+        if isinstance(node, dict):
+            return {k: walk(v, k) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v, name) for v in node]
+        return leaf(node, name in FP32_PARAM_NAMES)
+
+    return walk(params)
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+
+def _mlp_forward(cfg: ModelConfig, p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    h = linear(p["up"], x)
+    if cfg.activation == ActivationType.SWIGLU:
+        h = swiglu(h)
+    else:
+        h = gelu_tanh(h)
+    return linear(p["down"], h)
+
+
+def _ffn_forward(cfg: ModelConfig, blk: dict, x: jnp.ndarray) -> jnp.ndarray:
+    if "moe" in blk:
+        return moe_ops.moe_forward(cfg, blk["moe"], x)
+    return _mlp_forward(cfg, blk["mlp"], x)
+
+
+def _qkv(cfg: ModelConfig, ap: dict, x: jnp.ndarray):
+    T = x.shape[0]
+    q = linear(ap["q"], x).reshape(T, cfg.num_heads, cfg.head_dim)
+    k = linear(ap["k"], x).reshape(T, cfg.num_kv_heads, cfg.head_dim)
+    v = linear(ap["v"], x).reshape(T, cfg.num_kv_heads, cfg.head_dim)
+    return q, k, v
+
+
+def _use_rope(cfg: ModelConfig, layer_idx: int) -> bool:
+    if cfg.position_type != PositionType.ROPE:
+        return False
+    if cfg.is_hybrid and not cfg.hybrid_attn_rope:
+        return False
+    return True
+
+
+def _embed(cfg: ModelConfig, params: dict, tokens: jnp.ndarray, positions: jnp.ndarray) -> jnp.ndarray:
+    x = jnp.take(params["embed"], tokens, axis=0)
+    if cfg.position_type == PositionType.LEARNED:
+        # Clamp padded positions into range (their outputs are discarded).
+        pos = jnp.minimum(positions, params["pos_embed"].shape[0] - 1)
+        x = x + jnp.take(params["pos_embed"], pos, axis=0)
+    if cfg.embedding_multiplier != 1.0:
+        x = x * jnp.asarray(cfg.embedding_multiplier, x.dtype)
+    return x
+
+
+def _lm_logits(cfg: ModelConfig, params: dict, x: jnp.ndarray) -> jnp.ndarray:
+    x = apply_norm(params["final_norm"], x, cfg.norm_eps)
+    if cfg.tie_word_embeddings or "lm_head" not in params:
+        logits = jnp.dot(x, params["embed"].T.astype(x.dtype), preferred_element_type=jnp.float32)
+    else:
+        logits = linear(params["lm_head"], x).astype(jnp.float32)
+    if cfg.logits_scaling != 1.0:
+        # Reference divides (generic_model.go:473-477).
+        logits = logits / cfg.logits_scaling
+    return logits.astype(jnp.float32)
+
+
+def _residual_add(cfg: ModelConfig, x: jnp.ndarray, delta: jnp.ndarray) -> jnp.ndarray:
+    if cfg.residual_multiplier != 1.0:
+        delta = delta * jnp.asarray(cfg.residual_multiplier, delta.dtype)
+    return x + delta
+
+
+# ---------------------------------------------------------------------------
+# Prefill (one sequence, chunked, prefix-cache aware)
+# ---------------------------------------------------------------------------
+
+
+def prefill_chunk(
+    params: dict,
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,        # [T] int32, padded chunk of this sequence
+    positions: jnp.ndarray,     # [T] int32 absolute positions (start + i)
+    valid_len: jnp.ndarray,     # scalar int32: real chunk length
+    context_len: jnp.ndarray,   # scalar int32: prefix_len + valid_len
+    block_table: jnp.ndarray,   # [nb] int32 physical blocks covering context
+    slot_mapping: jnp.ndarray,  # [T] int32 flat pool slots (OOB => padding)
+    pool: dict,
+    mamba_state: dict | None = None,
+    slot_idx: jnp.ndarray | None = None,  # scalar int32 decode-slot for mamba state
+    block_size: int = 16,
+):
+    """Runs one prefill chunk; returns (last_token_logits [V], pool, mamba_state).
+
+    Attention strategy: write the chunk's K/V into the paged pool first, then
+    gather the whole context window [nb*block_size] back and attend — prefix
+    tokens (from prefix-cache hits or earlier chunks) and fresh tokens are
+    handled uniformly, and the pool is the single source of truth.
+    """
+    x = _embed(cfg, params, tokens, positions)
+    S = block_table.shape[0] * block_size
+    k_positions = jnp.arange(S, dtype=jnp.int32)
+    cos_sin = None
+    if cfg.position_type == PositionType.ROPE:
+        cos_sin = rope_cos_sin(positions, params["rope_inv_freq"])
+
+    for i, blk in enumerate(params["blocks"]):
+        if cfg.layer_kind(i) == LayerKind.MAMBA2:
+            h = apply_norm(blk["ln1"], x, cfg.norm_eps)
+            h, mamba_state = mamba_ops.mamba2_prefill(
+                cfg, blk["mamba"], h, valid_len, mamba_state, i, slot_idx
+            )
+            x = _residual_add(cfg, x, h)
+            h = apply_norm(blk["ln2"], x, cfg.norm_eps)
+            x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h))
+            continue
+
+        h = apply_norm(blk["ln1"], x, cfg.norm_eps)
+        q, k, v = _qkv(cfg, blk["attn"], h)
+        if cos_sin is not None and _use_rope(cfg, i):
+            q = apply_rope(q, *cos_sin)
+            k = apply_rope(k, *cos_sin)
+        pool = kvc.kv_write(pool, i, k, v, slot_mapping)
+        k_ctx, v_ctx = kvc.kv_gather(pool, i, block_table[None, :], block_size, cfg.num_kv_heads, dtype=x.dtype)
+        attn = attention_chunk(
+            q, k_ctx[0], v_ctx[0], positions, k_positions, context_len,
+            cfg.attn_scale, cfg.sliding_window,
+        )
+        attn_out = linear(blk["attn"]["o"], attn.reshape(attn.shape[0], -1))
+
+        if cfg.block_style == BlockStyle.PARALLEL:
+            # Falcon: x + attn(ln x) + ffn(ln x), single shared LN.
+            h2 = h if cfg.parallel_single_ln else apply_norm(blk["ln2"], x, cfg.norm_eps)
+            x = _residual_add(cfg, x, attn_out + _ffn_forward(cfg, blk, h2))
+        else:
+            x = _residual_add(cfg, x, attn_out)
+            h2 = apply_norm(blk["ln2"], x, cfg.norm_eps)
+            x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h2))
+
+    last = jnp.take(x, valid_len - 1, axis=0)
+    logits = _lm_logits(cfg, params, last[None, :])[0]
+    return logits, pool, mamba_state
+
+
+# ---------------------------------------------------------------------------
+# Decode (fixed-size batch of single-token steps)
+# ---------------------------------------------------------------------------
+
+
+def decode_step(
+    params: dict,
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,        # [B] int32
+    positions: jnp.ndarray,     # [B] int32 (= context_len - 1)
+    context_lens: jnp.ndarray,  # [B] int32 (>=1; inactive lanes use 1)
+    block_tables: jnp.ndarray,  # [B, nb] int32
+    slot_mapping: jnp.ndarray,  # [B] int32
+    pool: dict,
+    mamba_state: dict | None = None,
+    block_size: int = 16,
+):
+    """One batched decode step; returns (logits [B, V], pool, mamba_state)."""
+    x = _embed(cfg, params, tokens, positions)  # [B, E]
+    cos_sin = None
+    if cfg.position_type == PositionType.ROPE:
+        cos_sin = rope_cos_sin(positions, params["rope_inv_freq"])
+
+    for i, blk in enumerate(params["blocks"]):
+        if cfg.layer_kind(i) == LayerKind.MAMBA2:
+            h = apply_norm(blk["ln1"], x, cfg.norm_eps)
+            h, mamba_state = mamba_ops.mamba2_decode(cfg, blk["mamba"], h, mamba_state, i)
+            x = _residual_add(cfg, x, h)
+            h = apply_norm(blk["ln2"], x, cfg.norm_eps)
+            x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h))
+            continue
+
+        h = apply_norm(blk["ln1"], x, cfg.norm_eps)
+        B = h.shape[0]
+        q = linear(blk["attn"]["q"], h).reshape(B, cfg.num_heads, cfg.head_dim)
+        k = linear(blk["attn"]["k"], h).reshape(B, cfg.num_kv_heads, cfg.head_dim)
+        v = linear(blk["attn"]["v"], h).reshape(B, cfg.num_kv_heads, cfg.head_dim)
+        if cos_sin is not None and _use_rope(cfg, i):
+            q = apply_rope(q, *cos_sin)
+            k = apply_rope(k, *cos_sin)
+        pool = kvc.kv_write(pool, i, k, v, slot_mapping)
+        k_ctx, v_ctx = kvc.kv_gather(pool, i, block_tables, block_size, cfg.num_kv_heads, dtype=x.dtype)
+        attn = attention_decode(q, k_ctx, v_ctx, context_lens, cfg.attn_scale, cfg.sliding_window)
+        attn_out = linear(blk["attn"]["o"], attn.reshape(B, -1))
+
+        if cfg.block_style == BlockStyle.PARALLEL:
+            h2 = h if cfg.parallel_single_ln else apply_norm(blk["ln2"], x, cfg.norm_eps)
+            x = _residual_add(cfg, x, attn_out + _ffn_forward(cfg, blk, h2))
+        else:
+            x = _residual_add(cfg, x, attn_out)
+            h2 = apply_norm(blk["ln2"], x, cfg.norm_eps)
+            x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h2))
+
+    logits = _lm_logits(cfg, params, x)
+    return logits, pool, mamba_state

@@ -1,0 +1,85 @@
+"""Attention over the paged KV pool — XLA reference implementations.
+
+Replaces the reference's per-head score loops
+(/root/reference/purego/tensor/attention.go:354-470 MHA/GQA,
+mqa.go:184-243 MQA) with batched grouped-head einsums: a single formulation
+covers MHA / GQA / MQA by folding heads into [num_kv_heads, group] — no
+materialized repeat-KV (the reference repeats KV heads to full Q-head count,
+attention.go:252-255; here the group axis rides the einsum).
+
+Numerics: scores and softmax in float32 (bf16 softmax loses tail mass),
+output cast back to the activation dtype. Masks cover causality, context
+length (padded pool slots), and an optional sliding window (Mistral — the
+capability the reference only name-checks, SURVEY.md §5 "long-context").
+
+The Pallas paged-attention kernel (ops/pallas/paged_attention.py) is the fast
+path for decode on TPU; these functions are the semantics-defining fallback
+and the prefill path.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def _grouped(q: jnp.ndarray, num_kv_heads: int) -> jnp.ndarray:
+    """[..., H, D] -> [..., Hkv, G, D]"""
+    *lead, H, D = q.shape
+    return q.reshape(*lead, num_kv_heads, H // num_kv_heads, D)
+
+
+def attention_chunk(
+    q: jnp.ndarray,  # [T, H, D] — current chunk queries (RoPE already applied)
+    k: jnp.ndarray,  # [S, Hkv, D] — full context keys (prefix + chunk)
+    v: jnp.ndarray,  # [S, Hkv, D]
+    q_positions: jnp.ndarray,  # [T] int32 absolute positions
+    k_positions: jnp.ndarray,  # [S] int32 absolute positions (OOB => masked)
+    context_len,  # scalar int32: number of valid keys by position
+    scale: float,
+    sliding_window: int = 0,
+) -> jnp.ndarray:
+    """Causal attention for one sequence's prefill chunk, supporting a cached
+    prefix (chunked prefill: keys include prefix gathered from the pool).
+    Returns [T, H, D]."""
+    Hkv = k.shape[-2]
+    qg = _grouped(q, Hkv).astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    scores = jnp.einsum("thgd,shd->hgts", qg, kf) * scale
+    mask = k_positions[None, :] <= q_positions[:, None]  # causal
+    mask &= (k_positions < context_len)[None, :]
+    if sliding_window > 0:
+        mask &= k_positions[None, :] > q_positions[:, None] - sliding_window
+    scores = jnp.where(mask[None, None, :, :], scores, NEG_INF)
+    probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    out = jnp.einsum("hgts,shd->thgd", probs, v.astype(jnp.float32))
+    T, H = q.shape[0], q.shape[1]
+    return out.reshape(T, H, -1).astype(q.dtype)
+
+
+def attention_decode(
+    q: jnp.ndarray,  # [B, H, D]
+    k_ctx: jnp.ndarray,  # [B, S, Hkv, D] gathered from the pool
+    v_ctx: jnp.ndarray,  # [B, S, Hkv, D]
+    context_lens: jnp.ndarray,  # [B] int32 (number of valid tokens incl. current)
+    scale: float,
+    sliding_window: int = 0,
+) -> jnp.ndarray:
+    """Batched single-token decode attention over gathered pages. Key slot s
+    holds absolute position s (block tables are gathered in logical order).
+    Returns [B, H, D]."""
+    B, S = k_ctx.shape[0], k_ctx.shape[1]
+    Hkv = k_ctx.shape[-2]
+    qg = _grouped(q, Hkv).astype(jnp.float32)  # [B, Hkv, G, D]
+    scores = jnp.einsum("bhgd,bshd->bhgs", qg, k_ctx.astype(jnp.float32)) * scale
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]  # [1, S]
+    mask = pos < context_lens[:, None]
+    if sliding_window > 0:
+        mask &= pos > (context_lens[:, None] - 1) - sliding_window
+    scores = jnp.where(mask[:, None, None, :], scores, NEG_INF)
+    probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    out = jnp.einsum("bhgs,bshd->bhgd", probs, v_ctx.astype(jnp.float32))
+    return out.reshape(B, q.shape[1], -1).astype(q.dtype)

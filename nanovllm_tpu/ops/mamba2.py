@@ -1,0 +1,210 @@
+"""Mamba2 selective-state-space layer (Granite 4.0 hybrid).
+
+Replaces /root/reference/purego/tensor/mamba2.go — in_proj → [gate, xBC, dt]
+split (:87-102), left-padded causal depthwise conv1d (:183-247), SiLU,
+x/B/C split (:113-119), softplus(dt + dt_bias) (:122-129), selective scan with
+ZOH discretization `state = exp(A*dt)*state + dt*x*B`, `y = C.state + D*x`
+(:250-351), gated RMSNorm (:137-169), out_proj (:173-176).
+
+Key structural difference from the reference: the reference keeps SSM state
+*on the layer object* (one global sequence at a time, reset on each new
+prefill — generic_model.go:286-292). Here state is an explicit per-decode-slot
+pytree (`conv`: last d_conv-1 pre-conv inputs, `ssm`: [H, P, N] fp32 state)
+threaded through the jitted step functions, so many sequences decode
+concurrently — the same slot discipline as the paged KV pool.
+
+The prefill scan is a jax.lax.scan over time (exact). A chunked/associative
+(SSD-style) formulation is the planned TPU optimization; decode is a single
+O(1) state update and is already hardware-friendly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanovllm_tpu.config import LayerKind, ModelConfig
+from nanovllm_tpu.ops.norms import rms_norm
+
+
+def mamba_layer_index(cfg: ModelConfig, layer_idx: int) -> int:
+    return sum(1 for k in cfg.layer_kinds[:layer_idx] if k == LayerKind.MAMBA2)
+
+
+def num_mamba_layers(cfg: ModelConfig) -> int:
+    return sum(1 for k in cfg.layer_kinds if k == LayerKind.MAMBA2)
+
+
+def _dims(cfg: ModelConfig):
+    d_inner = cfg.mamba_n_heads * cfg.mamba_head_dim
+    conv_dim = d_inner + 2 * cfg.mamba_n_groups * cfg.mamba_d_state
+    return d_inner, conv_dim
+
+
+def init_mamba_params(cfg: ModelConfig, rng) -> dict:
+    E = cfg.hidden_size
+    H, P, S, G = cfg.mamba_n_heads, cfg.mamba_head_dim, cfg.mamba_d_state, cfg.mamba_n_groups
+    d_inner, conv_dim = _dims(cfg)
+    d_proj = 2 * d_inner + 2 * G * S + H
+
+    def w(shape, s=0.02):
+        return (rng.standard_normal(shape) * s).astype(np.float32)
+
+    return {
+        "in_proj": {"w": w((E, d_proj))},
+        "conv_w": w((cfg.mamba_d_conv, conv_dim), 0.2),  # depthwise, time-major
+        "conv_b": np.zeros((conv_dim,), np.float32),
+        "A_log": np.log(np.arange(1, H + 1, dtype=np.float32)),
+        "D": np.ones((H,), np.float32),
+        "dt_bias": np.zeros((H,), np.float32),
+        "norm_scale": np.ones((d_inner,), np.float32),
+        "out_proj": {"w": w((d_inner, E))},
+    }
+
+
+def create_mamba_state(cfg: ModelConfig, num_slots: int) -> dict:
+    """Per-decode-slot recurrent state for all mamba layers."""
+    L = num_mamba_layers(cfg)
+    H, P, S = cfg.mamba_n_heads, cfg.mamba_head_dim, cfg.mamba_d_state
+    _, conv_dim = _dims(cfg)
+    return {
+        "conv": jnp.zeros((L, num_slots, cfg.mamba_d_conv - 1, conv_dim), jnp.float32),
+        "ssm": jnp.zeros((L, num_slots, H, P, S), jnp.float32),
+    }
+
+
+def _split_proj(cfg: ModelConfig, proj: jnp.ndarray):
+    d_inner, conv_dim = _dims(cfg)
+    gate = proj[..., :d_inner]
+    xbc = proj[..., d_inner : d_inner + conv_dim]
+    dt = proj[..., d_inner + conv_dim :]
+    return gate, xbc, dt
+
+
+def _ssm_params(cfg: ModelConfig, p: dict, dt_raw: jnp.ndarray):
+    A = -jnp.exp(p["A_log"].astype(jnp.float32))  # [H]
+    dt = jax.nn.softplus(dt_raw.astype(jnp.float32) + p["dt_bias"].astype(jnp.float32))
+    return A, dt
+
+
+def _gated_out(cfg: ModelConfig, p: dict, y: jnp.ndarray, gate: jnp.ndarray) -> jnp.ndarray:
+    from nanovllm_tpu.ops.linear import linear
+
+    y = y * jax.nn.silu(gate.astype(jnp.float32))
+    y = rms_norm(y, p["norm_scale"], cfg.norm_eps)
+    return linear(p["out_proj"], y.astype(gate.dtype))
+
+
+def mamba2_prefill(
+    cfg: ModelConfig,
+    p: dict,
+    x: jnp.ndarray,        # [T, E]
+    valid_len: jnp.ndarray,  # scalar int32
+    state: dict | None,
+    layer_idx: int,
+    slot_idx: jnp.ndarray | None,  # scalar int32: decode slot to park final state in
+):
+    from nanovllm_tpu.ops.linear import linear
+
+    T = x.shape[0]
+    H, P, S, G = cfg.mamba_n_heads, cfg.mamba_head_dim, cfg.mamba_d_state, cfg.mamba_n_groups
+    d_inner, conv_dim = _dims(cfg)
+    li = mamba_layer_index(cfg, layer_idx)
+
+    proj = linear(p["in_proj"], x)
+    gate, xbc, dt_raw = _split_proj(cfg, proj)
+    tmask = (jnp.arange(T) < valid_len).astype(jnp.float32)  # [T]
+    xbc_f = xbc.astype(jnp.float32) * tmask[:, None]
+
+    # Causal depthwise conv1d, left-padded with zeros (fresh prefill).
+    K = cfg.mamba_d_conv
+    padded = jnp.concatenate([jnp.zeros((K - 1, conv_dim), jnp.float32), xbc_f], axis=0)
+    conv = sum(
+        padded[j : j + T] * p["conv_w"][j].astype(jnp.float32)[None, :] for j in range(K)
+    ) + p["conv_b"].astype(jnp.float32)[None, :]
+    conv = jax.nn.silu(conv)
+
+    xs = conv[:, :d_inner].reshape(T, H, P)
+    B = conv[:, d_inner : d_inner + G * S].reshape(T, G, S)
+    C = conv[:, d_inner + G * S :].reshape(T, G, S)
+    A, dt = _ssm_params(cfg, p, dt_raw)  # A [H], dt [T, H]
+    dt = dt * tmask[:, None]  # frozen state past valid_len
+
+    group_of_head = jnp.repeat(jnp.arange(G), H // G)  # [H]
+    Bh = B[:, group_of_head]  # [T, H, S]
+    Ch = C[:, group_of_head]  # [T, H, S]
+    dA = jnp.exp(A[None, :] * dt)  # [T, H]
+    dBx = dt[:, :, None, None] * xs[:, :, :, None] * Bh[:, :, None, :]  # [T,H,P,S]
+
+    def step(carry, inp):
+        da_t, dbx_t, c_t = inp
+        new = carry * da_t[:, None, None] + dbx_t
+        y_t = jnp.einsum("hps,hs->hp", new, c_t)
+        return new, y_t
+
+    init = jnp.zeros((H, P, S), jnp.float32)
+    final_state, ys = jax.lax.scan(step, init, (dA, dBx, Ch))
+    y = ys + xs * p["D"].astype(jnp.float32)[None, :, None]
+    out = _gated_out(cfg, p, y.reshape(T, d_inner), gate)
+
+    if state is not None and slot_idx is not None:
+        # Park final conv + ssm state in this sequence's decode slot.
+        idx = jnp.arange(K - 1) + valid_len - (K - 1)  # last K-1 valid rows
+        rows = jnp.where(
+            (idx >= 0)[:, None],
+            jnp.take(xbc_f, jnp.clip(idx, 0, T - 1), axis=0),
+            0.0,
+        )
+        state = {
+            "conv": state["conv"].at[li, slot_idx].set(rows),
+            "ssm": state["ssm"].at[li, slot_idx].set(final_state),
+        }
+    return out, state
+
+
+def mamba2_decode(
+    cfg: ModelConfig,
+    p: dict,
+    x: jnp.ndarray,  # [Bslots, E]
+    state: dict,
+    layer_idx: int,
+):
+    from nanovllm_tpu.ops.linear import linear
+
+    Bn = x.shape[0]
+    H, P, S, G = cfg.mamba_n_heads, cfg.mamba_head_dim, cfg.mamba_d_state, cfg.mamba_n_groups
+    d_inner, conv_dim = _dims(cfg)
+    K = cfg.mamba_d_conv
+    li = mamba_layer_index(cfg, layer_idx)
+
+    proj = linear(p["in_proj"], x)
+    gate, xbc, dt_raw = _split_proj(cfg, proj)
+    xbc_f = xbc.astype(jnp.float32)
+
+    conv_hist = state["conv"][li]  # [Bn, K-1, conv_dim]
+    window = jnp.concatenate([conv_hist, xbc_f[:, None, :]], axis=1)  # [Bn, K, conv]
+    conv = jnp.einsum("bkc,kc->bc", window, p["conv_w"].astype(jnp.float32)) + p["conv_b"].astype(
+        jnp.float32
+    )
+    conv = jax.nn.silu(conv)
+
+    xs = conv[:, :d_inner].reshape(Bn, H, P)
+    B = conv[:, d_inner : d_inner + G * S].reshape(Bn, G, S)
+    C = conv[:, d_inner + G * S :].reshape(Bn, G, S)
+    A, dt = _ssm_params(cfg, p, dt_raw)  # dt [Bn, H]
+
+    group_of_head = jnp.repeat(jnp.arange(G), H // G)
+    Bh = B[:, group_of_head]  # [Bn, H, S]
+    Ch = C[:, group_of_head]
+    dA = jnp.exp(A[None, :] * dt)  # [Bn, H]
+    ssm = state["ssm"][li]  # [Bn, H, P, S]
+    new_ssm = ssm * dA[:, :, None, None] + dt[:, :, None, None] * xs[:, :, :, None] * Bh[:, :, None, :]
+    y = jnp.einsum("bhps,bhs->bhp", new_ssm, Ch) + xs * p["D"].astype(jnp.float32)[None, :, None]
+    out = _gated_out(cfg, p, y.reshape(Bn, d_inner), gate)
+
+    state = {
+        "conv": state["conv"].at[li].set(window[:, 1:, :]),
+        "ssm": state["ssm"].at[li].set(new_ssm),
+    }
+    return out, state

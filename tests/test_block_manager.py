@@ -1,0 +1,88 @@
+"""BlockManager invariants + prefix caching.
+
+Mirrors the reference's test intent (nanovllm/block_manager_test.go:
+creation/alloc/dealloc invariants, prefix-cache sharing between identical
+prompts, hash determinism)."""
+
+from nanovllm_tpu.engine.block_manager import BlockManager, compute_hash
+from nanovllm_tpu.engine.sequence import Sequence
+from nanovllm_tpu.sampling_params import SamplingParams
+
+BS = 16
+
+
+def seq(tokens):
+    return Sequence(tokens, SamplingParams(), BS)
+
+
+def test_allocate_deallocate_invariants():
+    bm = BlockManager(num_blocks=8, block_size=BS)
+    s = seq(list(range(3 * BS + 5)))
+    assert bm.can_allocate(s)
+    bm.allocate(s)
+    assert len(s.block_table) == 4
+    assert bm.num_free_blocks == 4
+    bm.deallocate(s)
+    assert bm.num_free_blocks == 8
+    assert s.block_table == []
+
+
+def test_prefix_cache_sharing():
+    bm = BlockManager(num_blocks=16, block_size=BS)
+    prompt = list(range(2 * BS))  # two full blocks
+    s1, s2 = seq(prompt), seq(list(prompt))
+    bm.allocate(s1)
+    assert s1.num_cached_tokens == 0
+    bm.allocate(s2)
+    assert s2.num_cached_tokens == 2 * BS
+    assert s2.block_table == s1.block_table  # shared, refcounted
+    assert bm.blocks[s1.block_table[0]].ref_count == 2
+    bm.deallocate(s1)
+    assert bm.blocks[s2.block_table[0]].ref_count == 1
+    bm.deallocate(s2)
+    assert bm.num_free_blocks == 16
+
+
+def test_prefix_cache_rejects_hash_collision_with_different_tokens():
+    bm = BlockManager(num_blocks=16, block_size=BS)
+    s1 = seq(list(range(BS)))
+    bm.allocate(s1)
+    s2 = seq(list(range(BS, 2 * BS)))  # different tokens
+    bm.allocate(s2)
+    assert s2.num_cached_tokens == 0
+    assert s2.block_table != s1.block_table
+
+
+def test_partial_last_block_not_cached():
+    bm = BlockManager(num_blocks=16, block_size=BS)
+    prompt = list(range(BS + 3))  # one full + partial
+    s1, s2 = seq(prompt), seq(list(prompt))
+    bm.allocate(s1)
+    bm.allocate(s2)
+    assert s2.num_cached_tokens == BS  # only the sealed block
+
+
+def test_hash_chain_determinism():
+    a = compute_hash(list(range(BS)), -1)
+    b = compute_hash(list(range(BS)), -1)
+    c = compute_hash(list(range(BS)), a)
+    assert a == b
+    assert a != c
+    assert compute_hash([1, 2, 3]) != compute_hash([3, 2, 1])
+
+
+def test_may_append_boundary():
+    bm = BlockManager(num_blocks=8, block_size=BS)
+    s = seq(list(range(BS)))
+    bm.allocate(s)
+    assert len(s.block_table) == 1
+    # Append a token -> crosses boundary -> needs a block at next schedule.
+    s.append_token(7)
+    assert bm.can_append(s)
+    bm.may_append(s)
+    assert len(s.block_table) == 2
+    # Fill the block to the boundary; hash should seal.
+    for t in range(BS - 1):
+        s.append_token(t)
+        bm.may_append(s)
+    assert bm.blocks[s.block_table[-1]].hash != -1

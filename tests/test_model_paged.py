@@ -1,0 +1,165 @@
+"""Paged-pipeline consistency: decode over the block pool must reproduce the
+logits of a single long prefill (teacher-forced), chunked/prefix-cached
+prefill must match fresh prefill, and the runner+engine must generate
+greedily end-to-end with a real (random-weight) model."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from nanovllm_tpu.config import EngineConfig, ModelConfig, ActivationType, NormType, PositionType, BlockStyle
+from nanovllm_tpu.engine.llm import LLM
+from nanovllm_tpu.models import model as M
+from nanovllm_tpu.ops import kv_cache as kvc
+from nanovllm_tpu.sampling_params import SamplingParams
+
+BS = 16  # kv block size for tests
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        vocab_size=97,
+        hidden_size=48,
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        intermediate_size=64,
+        max_seq_len=128,
+        norm_type=NormType.RMSNORM,
+        position_type=PositionType.ROPE,
+        activation=ActivationType.SWIGLU,
+        dtype="float32",
+        eos_token_id=0,
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def make_pool(cfg, num_blocks=16):
+    return kvc.create_kv_pool(
+        cfg.num_layers, num_blocks, BS, cfg.num_kv_heads, cfg.head_dim, dtype=jnp.float32
+    )
+
+
+def full_prefill_logits(cfg, params, tokens, pool, block_table):
+    T = len(tokens)
+    slot_map = kvc.make_slot_mapping(np.array(block_table), 0, T, BS, T, 16 * BS)
+    logits, pool, _ = M.prefill_chunk(
+        params, cfg,
+        jnp.asarray(np.array(tokens, np.int32)),
+        jnp.arange(T, dtype=jnp.int32),
+        jnp.int32(T), jnp.int32(T),
+        jnp.asarray(np.array(block_table, np.int32)),
+        jnp.asarray(slot_map),
+        pool,
+    )
+    return logits, pool
+
+
+@pytest.mark.parametrize("kv_heads,style", [(2, BlockStyle.SEQUENTIAL), (1, BlockStyle.PARALLEL), (4, BlockStyle.SEQUENTIAL)])
+def test_decode_matches_prefill(kv_heads, style):
+    """Teacher-forced decode over the paged pool == one long prefill."""
+    cfg = tiny_cfg(num_kv_heads=kv_heads, block_style=style)
+    params = M.init_params(cfg, seed=0)
+    rng = np.random.default_rng(5)
+    tokens = rng.integers(1, cfg.vocab_size, size=40).tolist()
+    bt = [3, 1, 7]  # 3 blocks cover 48 >= 40+decodes
+
+    # Reference: full prefill of all 40 tokens.
+    pool = make_pool(cfg)
+    ref_logits, _ = full_prefill_logits(cfg, params, tokens, pool, bt)
+
+    # Paged path: prefill 36, then 4 teacher-forced decode steps.
+    pool = make_pool(cfg)
+    pre = 36
+    logits, pool = full_prefill_logits(cfg, params, tokens[:pre], pool, bt)
+    B = 4  # decode lanes; lane 2 is ours
+    lane = 2
+    for i in range(pre, 40):
+        tok = np.zeros((B,), np.int32)
+        pos = np.zeros((B,), np.int32)
+        ctx = np.ones((B,), np.int32)
+        bts = np.zeros((B, 3), np.int32)
+        sm = np.full((B,), 16 * BS, np.int32)
+        tok[lane] = tokens[i]
+        pos[lane] = i
+        ctx[lane] = i + 1
+        bts[lane] = bt
+        sm[lane] = bt[i // BS] * BS + i % BS
+        logits_b, pool, _ = M.decode_step(
+            params, cfg,
+            jnp.asarray(tok), jnp.asarray(pos), jnp.asarray(ctx),
+            jnp.asarray(bts), jnp.asarray(sm), pool,
+        )
+        logits = logits_b[lane]
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4)
+
+
+def test_chunked_prefill_with_prefix_matches_fresh():
+    """Prefix-cached prefill (skip computed prefix) == full fresh prefill."""
+    cfg = tiny_cfg()
+    params = M.init_params(cfg, seed=1)
+    rng = np.random.default_rng(6)
+    tokens = rng.integers(1, cfg.vocab_size, size=2 * BS + 5).tolist()
+    bt = [0, 1, 2]
+
+    pool = make_pool(cfg)
+    ref_logits, pool = full_prefill_logits(cfg, params, tokens, pool, bt)
+
+    # Same pool now holds KV for the first 2 blocks; re-run only the tail
+    # (as after a 2-block prefix-cache hit).
+    start = 2 * BS
+    tail = tokens[start:]
+    Tb = 16  # bucket
+    chunk = np.zeros((Tb,), np.int32)
+    chunk[: len(tail)] = tail
+    slot_map = kvc.make_slot_mapping(np.array(bt), start, len(tail), BS, Tb, 16 * BS)
+    logits2, _, _ = M.prefill_chunk(
+        params, cfg,
+        jnp.asarray(chunk),
+        jnp.arange(start, start + Tb, dtype=jnp.int32),
+        jnp.int32(len(tail)), jnp.int32(len(tokens)),
+        jnp.asarray(np.array(bt, np.int32)),
+        jnp.asarray(slot_map),
+        pool,
+    )
+    np.testing.assert_allclose(np.asarray(logits2), np.asarray(ref_logits), rtol=2e-4, atol=2e-4)
+
+
+def test_llm_end_to_end_greedy_random_model():
+    """Full stack: LLM facade -> scheduler -> TPU runner -> paged decode."""
+    cfg = tiny_cfg()
+    ecfg = EngineConfig(
+        max_num_batched_tokens=4096, max_num_seqs=4, max_model_len=128,
+        kv_block_size=BS, max_decode_slots=4, min_prefill_bucket=16,
+        num_kv_blocks=32, eos_token_id=0,
+    )
+    llm = LLM(model_config=cfg, engine_config=ecfg)
+    prompts = [[5, 6, 7, 8], [9, 10, 11], [12, 13, 14, 15, 16]]
+    outs = llm.generate(prompts, SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True))
+    assert all(len(o.token_ids) == 8 for o in outs)
+    # Determinism: same prompts again -> same tokens (pure greedy path).
+    outs2 = llm.generate(prompts, SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True))
+    for a, b in zip(outs, outs2):
+        assert a.token_ids == b.token_ids
+
+
+def test_prefix_cache_skips_compute_but_matches():
+    """Engine-level: second identical prompt must reuse cached blocks (fewer
+    prefill tokens) AND produce identical greedy output."""
+    cfg = tiny_cfg()
+    ecfg = EngineConfig(
+        max_num_batched_tokens=4096, max_num_seqs=4, max_model_len=128,
+        kv_block_size=BS, max_decode_slots=4, min_prefill_bucket=16,
+        num_kv_blocks=32, eos_token_id=0, enable_prefix_caching=True,
+    )
+    llm = LLM(model_config=cfg, engine_config=ecfg)
+    prompt = list(range(1, 2 * BS + 4))
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    out1 = llm.generate([prompt], sp)[0]
+    pre_tokens_1 = llm.engine.metrics["prefill_tokens"]
+    out2 = llm.generate([prompt], sp)[0]
+    pre_tokens_2 = llm.engine.metrics["prefill_tokens"] - pre_tokens_1
+    assert out1.token_ids == out2.token_ids
+    assert pre_tokens_2 < pre_tokens_1  # cached prefix skipped compute
+    assert llm.engine.metrics["cached_prompt_tokens"] >= 2 * BS

@@ -1,0 +1,105 @@
+"""Scheduler + engine end-to-end with mock runner/tokenizer — the reference's
+simple-demo pattern (cmd/simple-demo/main.go, the only model-free exercise of
+the full engine stack)."""
+
+import pytest
+
+from nanovllm_tpu.config import EngineConfig
+from nanovllm_tpu.engine.engine import LLMEngine, MockTokenizer
+from nanovllm_tpu.engine.runner import MockModelRunner
+from nanovllm_tpu.engine.scheduler import Scheduler
+from nanovllm_tpu.engine.sequence import Sequence, SequenceStatus
+from nanovllm_tpu.sampling_params import SamplingParams
+
+
+def make_engine(**kw):
+    cfg = EngineConfig(
+        max_num_batched_tokens=4096,
+        max_num_seqs=8,
+        max_model_len=256,
+        kv_block_size=16,
+        eos_token_id=0,
+        max_decode_slots=8,
+        **kw,
+    )
+    return LLMEngine(None, cfg, runner=MockModelRunner(eos_token_id=0, eos_every=10), tokenizer=MockTokenizer(), num_kv_blocks=64)
+
+
+def test_generate_batch_mock():
+    eng = make_engine()
+    prompts = [f"hello world {i}" for i in range(5)]
+    outs = eng.generate(prompts, SamplingParams(max_tokens=16))
+    assert len(outs) == 5
+    for o in outs:
+        assert o.finish_reason in ("stop", "length")
+        assert 1 <= len(o.token_ids) <= 16
+
+
+def test_outputs_ordered_by_request():
+    # Reference bug SURVEY.md §2.5-4: outputs must map to request order.
+    eng = make_engine()
+    prompts = [[i + 1] * (4 + i) for i in range(6)]
+    sps = [SamplingParams(max_tokens=3 + (i % 3) * 5, ignore_eos=True) for i in range(6)]
+    outs = eng.generate(prompts, sps)
+    for i, o in enumerate(outs):
+        assert len(o.token_ids) == sps[i].max_tokens
+
+
+def test_prefill_priority_and_budget():
+    cfg = EngineConfig(
+        max_num_batched_tokens=256, max_num_seqs=4, max_model_len=128,
+        kv_block_size=16, max_decode_slots=4,
+    )
+    sch = Scheduler(cfg, num_kv_blocks=64)
+    for i in range(6):
+        sch.add(Sequence([i + 1] * 100, SamplingParams(), 16))
+    seqs, is_prefill = sch.schedule()
+    assert is_prefill
+    assert len(seqs) == 2  # 100+100 <= 256 but 300 > 256
+    seqs2, is_prefill2 = sch.schedule()
+    assert is_prefill2 and len(seqs2) == 2  # slots/seq budget caps at 4
+
+
+def test_preemption_requeues_and_finishes():
+    # Tiny pool: force decode-time preemption.
+    cfg = EngineConfig(
+        max_num_batched_tokens=4096, max_num_seqs=4, max_model_len=128,
+        kv_block_size=16, max_decode_slots=4,
+    )
+    sch = Scheduler(cfg, num_kv_blocks=5)  # 80 tokens total
+    a = Sequence([1] * 31, SamplingParams(max_tokens=64, ignore_eos=True), 16)
+    b = Sequence([2] * 31, SamplingParams(max_tokens=64, ignore_eos=True), 16)
+    sch.add(a)
+    sch.add(b)
+    seqs, is_prefill = sch.schedule()
+    assert is_prefill and len(seqs) == 2  # 2 blocks each, 4 used, 1 free
+    # Decode until one gets preempted: each needs a new block at 33 tokens.
+    preempted = False
+    for step in range(8):
+        seqs, is_prefill = sch.schedule()
+        if is_prefill:
+            preempted = True
+            break
+        sch.postprocess(seqs, [5] * len(seqs))
+    # One of the two must have been preempted back to waiting (or already
+    # re-admitted via a prefill) once blocks ran out.
+    assert preempted or sch.num_waiting() >= 1
+
+
+def test_engine_metrics_and_cache_accounting():
+    eng = make_engine(enable_prefix_caching=True)
+    out1 = eng.generate([[7] * 40], SamplingParams(max_tokens=4, ignore_eos=True))
+    # Same prompt again: blocks were freed, but hash-table entries survive;
+    # freed blocks can be re-adopted (reference block_manager behavior).
+    out2 = eng.generate([[7] * 40], SamplingParams(max_tokens=4, ignore_eos=True))
+    assert len(out1) == len(out2) == 1
+    tp = eng.throughput()
+    assert tp["prefill_tokens"] > 0 and tp["decode_tokens"] > 0
+
+
+def test_add_request_validation():
+    eng = make_engine()
+    with pytest.raises(ValueError):
+        eng.add_request([], SamplingParams())
+    with pytest.raises(ValueError):
+        eng.add_request([1] * 400, SamplingParams())  # > max_model_len
