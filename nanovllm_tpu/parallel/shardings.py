@@ -19,7 +19,16 @@ from nanovllm_tpu.parallel.mesh import MODEL_AXIS
 
 
 def _put(x, mesh: Mesh, spec: P):
-    return jax.device_put(x, NamedSharding(mesh, spec))
+    # Replicate any dim whose size the mesh axis doesn't divide (e.g. odd
+    # vocab sizes, Falcon's 71 heads) instead of failing.
+    fixed = []
+    for i, ax in enumerate(spec):
+        if ax is None:
+            fixed.append(None)
+        else:
+            n = mesh.shape[ax]
+            fixed.append(ax if x.shape[i] % n == 0 else None)
+    return jax.device_put(x, NamedSharding(mesh, P(*fixed)))
 
 
 def _lin(p, mesh, w_spec: P):
@@ -115,8 +124,11 @@ def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
 def pool_specs(cfg: ModelConfig, mesh: Mesh, quantized: bool) -> dict:
     tp = mesh.shape[MODEL_AXIS]
     kv_axis = MODEL_AXIS if cfg.num_kv_heads % tp == 0 else None
-    val = P(None, None, kv_axis, None)  # [L, slots, Hkv, D]
-    scale = P(None, None, kv_axis)
+    # Pool layout is [L, slots, Hkv*D] (heads folded into the minor dim);
+    # sharding the folded dim over 'model' splits on head boundaries because
+    # Hkv % tp == 0. Scales are [L, Hkv, slots].
+    val = P(None, None, kv_axis)
+    scale = P(None, kv_axis, None)
     d = {"k": val, "v": val}
     if quantized:
         d["k_scale"] = scale
