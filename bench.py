@@ -77,6 +77,9 @@ def main():
         min_prefill_bucket=128,
         eos_token_id=cfg.eos_token_ids[0],
         quantization="int8",
+        # Identical prompts in warmup+timed rounds: disable prefix caching so
+        # the timed prefill measures real compute.
+        enable_prefix_caching=False,
     )
     llm = LLM(model_config=cfg, engine_config=ecfg, params=params)
     eng = llm.engine
@@ -85,16 +88,30 @@ def main():
         rng.integers(1, cfg.vocab_size, size=PROMPT).tolist() for _ in range(B)
     ]
     sp = SamplingParams(temperature=0.0, max_tokens=DECODE, ignore_eos=True)
+
+    # Warmup round: compiles every prefill/decode bucket shape.
+    log("warmup round (compiling)...")
+    t0 = time.time()
     for p in prompts:
         eng.add_request(p, sp)
-
-    log("running warmup + generation...")
-    t0 = time.time()
     n_steps = 0
     while not eng.is_finished():
         eng.step()
         n_steps += 1
-    log(f"generation done in {time.time()-t0:.1f}s ({n_steps} steps)")
+    log(f"warmup done in {time.time()-t0:.1f}s ({n_steps} steps)")
+
+    # Timed round: identical shapes, zero compiles.
+    for k in eng.metrics:
+        eng.metrics[k] = 0.0 if isinstance(eng.metrics[k], float) else 0
+    log("timed round...")
+    t0 = time.time()
+    for p in prompts:
+        eng.add_request(p, sp)
+    n_steps = 0
+    while not eng.is_finished():
+        eng.step()
+        n_steps += 1
+    log(f"timed generation done in {time.time()-t0:.1f}s ({n_steps} steps)")
 
     m = eng.metrics
     decode_tok_s = m["decode_tokens"] / m["decode_time"] if m["decode_time"] else 0.0

@@ -1,0 +1,55 @@
+"""Perplexity / quantization-quality CLI.
+
+Computes PPL of a checkpoint on a text file (or built-in sample) at bf16 and
+optionally at INT8/INT4, reporting ΔPPL against the unquantized run — the
+acceptance metric from BASELINE.json (≤0.1 @INT8, ≤0.5 @INT4).
+
+Usage:
+  python -m cli.eval_ppl --model-dir CKPT [--text-file f.txt] [--quantization int8 int4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+SAMPLE_TEXT = (
+    "The tower is 324 metres tall, about the same height as an 81-storey "
+    "building. Its base is square, measuring 125 metres on each side. During "
+    "its construction, the Eiffel Tower surpassed the Washington Monument to "
+    "become the tallest man-made structure in the world."
+)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model-dir", required=True)
+    ap.add_argument("--text-file", default=None)
+    ap.add_argument("--max-tokens", type=int, default=512)
+    ap.add_argument("--quantization", nargs="*", default=[], choices=["int8", "int4"])
+    args = ap.parse_args(argv)
+
+    from nanovllm_tpu.eval.ppl import perplexity
+    from nanovllm_tpu.io.loader import load_model_dir
+    from nanovllm_tpu.tokenizer import load_tokenizer
+
+    text = SAMPLE_TEXT
+    if args.text_file:
+        with open(args.text_file) as f:
+            text = f.read()
+    tok = load_tokenizer(args.model_dir)
+    ids = tok.encode(text)[: args.max_tokens]
+    print(f"evaluating on {len(ids)} tokens", file=sys.stderr)
+
+    cfg, params = load_model_dir(args.model_dir, dtype="bfloat16")
+    base_ppl = perplexity(cfg, params, [ids])
+    print(f"ppl[bf16] = {base_ppl:.4f}")
+    for q in args.quantization:
+        cfg_q, params_q = load_model_dir(args.model_dir, dtype="bfloat16", quantization=q)
+        ppl_q = perplexity(cfg_q, params_q, [ids])
+        print(f"ppl[{q}] = {ppl_q:.4f}  dPPL = {ppl_q - base_ppl:+.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

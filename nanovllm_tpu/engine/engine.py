@@ -14,6 +14,7 @@ import time
 from typing import Optional, Protocol, Sequence as Seq, Union
 
 from nanovllm_tpu.config import EngineConfig, ModelConfig
+from nanovllm_tpu.utils.metrics import MetricsRegistry, StepLogger
 from nanovllm_tpu.engine.runner import ModelRunner, MockModelRunner, default_num_kv_blocks
 from nanovllm_tpu.engine.scheduler import Scheduler
 from nanovllm_tpu.engine.sequence import Sequence
@@ -61,6 +62,7 @@ class LLMEngine:
         runner: Optional[ModelRunner] = None,
         tokenizer=None,
         num_kv_blocks: Optional[int] = None,
+        step_log_path: Optional[str] = None,
     ):
         self.model_cfg = model_cfg
         self.engine_cfg = engine_cfg
@@ -81,6 +83,10 @@ class LLMEngine:
             "preemptions": 0,
             "cached_prompt_tokens": 0,
         }
+        self.registry = MetricsRegistry()
+        self.step_logger = StepLogger(step_log_path)
+        self._arrival: dict[int, float] = {}
+        self._first_token: dict[int, float] = {}
 
     # ---- API -------------------------------------------------------------
 
@@ -98,6 +104,8 @@ class LLMEngine:
         seq = Sequence(token_ids, sampling_params, self.engine_cfg.kv_block_size)
         self.scheduler.add(seq)
         self._seqs[seq.seq_id] = seq
+        self._arrival[seq.seq_id] = time.perf_counter()
+        self.registry.inc("requests_total")
         return seq.seq_id
 
     def step(self) -> list[RequestOutput]:
@@ -107,20 +115,45 @@ class LLMEngine:
         t0 = time.perf_counter()
         token_ids = self.runner.run(seqs, is_prefill)
         dt = time.perf_counter() - t0
+        now = time.perf_counter()
         if is_prefill:
             n = sum(len(s) - s.num_cached_tokens for s in seqs)
             self.metrics["prefill_tokens"] += n
             self.metrics["prefill_time"] += dt
             self.metrics["cached_prompt_tokens"] += sum(s.num_cached_tokens for s in seqs)
+            self.registry.observe("prefill_step_s", dt)
+            for s in seqs:
+                if s.seq_id not in self._first_token and s.seq_id in self._arrival:
+                    ttft = now - self._arrival[s.seq_id]
+                    self._first_token[s.seq_id] = ttft
+                    self.registry.observe("ttft_s", ttft)
         else:
             self.metrics["decode_tokens"] += len(seqs)
             self.metrics["decode_time"] += dt
+            self.registry.observe("decode_step_s", dt)
+        self.metrics["preemptions"] = self.scheduler.num_preemptions
+        self.step_logger.log_step(
+            kind="prefill" if is_prefill else "decode",
+            num_seqs=len(seqs),
+            duration_s=round(dt, 6),
+            batched_tokens=(
+                sum(len(s) - s.num_cached_tokens for s in seqs) if is_prefill else len(seqs)
+            ),
+            cached_tokens=sum(s.num_cached_tokens for s in seqs) if is_prefill else 0,
+            running=self.scheduler.num_running(),
+            waiting=self.scheduler.num_waiting(),
+            free_blocks=self.scheduler.block_manager.num_free_blocks,
+            preemptions=self.scheduler.num_preemptions,
+        )
         finished = self.scheduler.postprocess(seqs, token_ids)
         outputs = []
         for seq in finished:
             text = self.tokenizer.decode(seq.completion_token_ids)
             outputs.append(RequestOutput(seq, text))
             del self._seqs[seq.seq_id]
+            self._arrival.pop(seq.seq_id, None)
+            self._first_token.pop(seq.seq_id, None)
+            self.registry.inc("requests_finished")
         return outputs
 
     def is_finished(self) -> bool:
@@ -151,5 +184,10 @@ class LLMEngine:
             **m,
         }
 
+    def stats(self) -> dict:
+        """Registry snapshot incl. p50 TTFT and step-time histograms."""
+        return {**self.throughput(), **self.registry.snapshot()}
+
     def close(self) -> None:
+        self.step_logger.close()
         self.runner.close()

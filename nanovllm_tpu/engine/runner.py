@@ -117,16 +117,26 @@ class TPUModelRunner:
             mamba_ops.create_mamba_state(model_cfg, S) if model_cfg.is_hybrid else None
         )
 
-        # On-device sampling state, one row per decode slot.
+        # On-device sampling state, one row per decode slot. Device arrays are
+        # authoritative inside the fused decode step; host mirrors exist so
+        # prefill-time batched sampling can slice per-slot params cheaply.
         L = engine_cfg.max_model_len + 8
+        self.hist_capacity = L
         self.history = jnp.full((S, L), model_cfg.vocab_size, jnp.int32)
-        # Host mirrors of per-slot sampling params.
         self.h_temps = np.ones((S,), np.float32)
         self.h_topks = np.zeros((S,), np.int32)
         self.h_topps = np.ones((S,), np.float32)
         self.h_reps = np.ones((S,), np.float32)
         self.h_seeds = np.zeros((S,), np.uint32)
         self.h_hist_lens = np.zeros((S,), np.int32)
+        self.d_sampling = {
+            "temps": jnp.ones((S,), jnp.float32),
+            "topks": jnp.zeros((S,), jnp.int32),
+            "topps": jnp.ones((S,), jnp.float32),
+            "reps": jnp.ones((S,), jnp.float32),
+            "seeds": jnp.zeros((S,), jnp.uint32),
+            "hist_lens": jnp.zeros((S,), jnp.int32),
+        }
         self.step_counter = 0
 
         self.max_blocks_per_seq = math.ceil(engine_cfg.max_model_len / bs)
@@ -153,18 +163,37 @@ class TPUModelRunner:
         return self._prefill_cache[key]
 
     def _get_decode(self, nb: int):
+        """Fused decode step: model forward + batched sampling + history
+        append in ONE dispatch (per-dispatch latency through the device
+        tunnel would otherwise dominate memory-bound decode)."""
         if nb not in self._decode_cache:
             cfg = self.mcfg
-
             bs = self.ecfg.kv_block_size
+            Lh = self.hist_capacity
 
-            def fn(params, tokens, positions, context_lens, block_tables, slot_mapping, pool, mamba_state):
-                return M.decode_step(
+            def fn(params, tokens, positions, context_lens, block_tables,
+                   slot_mapping, pool, mamba_state, history, sampling, step):
+                logits, pool, mamba_state = M.decode_step(
                     params, cfg, tokens, positions, context_lens, block_tables,
                     slot_mapping, pool, mamba_state, bs,
                 )
+                sampled = sampling_ops.sample(
+                    logits.astype(jnp.float32), history, sampling["hist_lens"],
+                    sampling["temps"], sampling["topks"], sampling["topps"],
+                    sampling["reps"], sampling["seeds"], step,
+                )
+                # Append to active lanes' history (inactive lanes get an OOB
+                # row index and drop).
+                nslots = pool["k"].shape[1]
+                active = slot_mapping < nslots
+                Sn = sampled.shape[0]
+                row = jnp.where(active, sampling["hist_lens"], Lh)
+                history = history.at[jnp.arange(Sn), row].set(sampled, mode="drop")
+                sampling = dict(sampling)
+                sampling["hist_lens"] = sampling["hist_lens"] + active.astype(jnp.int32)
+                return sampled, pool, mamba_state, history, sampling
 
-            self._decode_cache[nb] = jax.jit(fn, donate_argnums=(6, 7))
+            self._decode_cache[nb] = jax.jit(fn, donate_argnums=(6, 7, 8, 9))
         return self._decode_cache[nb]
 
     # ---- prefill ---------------------------------------------------------
@@ -214,6 +243,15 @@ class TPUModelRunner:
         row[: len(seq)] = seq.token_ids
         self.h_hist_lens[s] = len(seq)
         self.history = self.history.at[s].set(jnp.asarray(row))
+        d = self.d_sampling
+        self.d_sampling = {
+            "temps": d["temps"].at[s].set(sp.temperature),
+            "topks": d["topks"].at[s].set(sp.top_k),
+            "topps": d["topps"].at[s].set(sp.top_p),
+            "reps": d["reps"].at[s].set(sp.repetition_penalty),
+            "seeds": d["seeds"].at[s].set(jnp.uint32(self.h_seeds[s])),
+            "hist_lens": d["hist_lens"].at[s].set(len(seq)),
+        }
 
     # ---- public API ------------------------------------------------------
 
@@ -238,6 +276,12 @@ class TPUModelRunner:
         self._append_history(seqs, out)
         return out
 
+    def _sync_hist_lens_to_device(self, slots: list[int]) -> None:
+        d = self.d_sampling
+        idx = jnp.asarray(np.array(slots, np.int32))
+        vals = jnp.asarray(self.h_hist_lens[slots])
+        self.d_sampling = {**d, "hist_lens": d["hist_lens"].at[idx].set(vals)}
+
     def _run_decode(self, seqs: list[Sequence]) -> list[int]:
         S = self.S
         tokens = np.zeros((S,), np.int32)
@@ -258,7 +302,8 @@ class TPUModelRunner:
             slot_mapping[s] = b * self.block_size + (n - 1) % self.block_size
 
         fn = self._get_decode(nb)
-        logits, self.pool, new_mamba = fn(
+        self.step_counter += 1
+        sampled, self.pool, new_mamba, self.history, self.d_sampling = fn(
             self.params,
             jnp.asarray(tokens),
             jnp.asarray(positions),
@@ -267,15 +312,17 @@ class TPUModelRunner:
             jnp.asarray(slot_mapping),
             self.pool,
             self.mamba_state,
+            self.history,
+            self.d_sampling,
+            jnp.int32(self.step_counter),
         )
         if self.mamba_state is not None:
             self.mamba_state = new_mamba
-        slots = np.arange(S, dtype=np.int32)
-        sampled = self._sample_for(logits, slots)
+        sampled = np.asarray(jax.device_get(sampled))
         out = []
         for seq in seqs:
             out.append(int(sampled[seq.slot]))
-        self._append_history(seqs, out)
+            self.h_hist_lens[seq.slot] += 1
         return out
 
     def _sample_for(self, logits: jnp.ndarray, slots: np.ndarray) -> np.ndarray:
@@ -303,6 +350,7 @@ class TPUModelRunner:
         self.history = self.history.at[slots, lens].set(vals)
         for s in seqs:
             self.h_hist_lens[s.slot] += 1
+        self._sync_hist_lens_to_device([s.slot for s in seqs])
 
     def close(self) -> None:
         pass

@@ -31,6 +31,7 @@ class Scheduler:
         )
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
+        self.num_preemptions = 0
         self.free_slots: list[int] = list(range(config.max_decode_slots - 1, -1, -1))
 
     def add(self, seq: Sequence) -> None:
@@ -102,6 +103,7 @@ class Scheduler:
         return decode, False
 
     def _preempt(self, seq: Sequence) -> None:
+        self.num_preemptions += 1
         seq.status = SequenceStatus.WAITING
         self.block_manager.deallocate(seq)
         if seq.slot is not None:

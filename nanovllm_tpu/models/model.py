@@ -246,6 +246,7 @@ def prefill_chunk(
     mamba_state: dict | None = None,
     slot_idx: jnp.ndarray | None = None,  # scalar int32 decode-slot for mamba state
     block_size: int = 16,
+    all_logits: bool = False,  # True => return [T, V] (PPL eval harness)
 ):
     """Runs one prefill chunk; returns (last_token_logits [V], pool, mamba_state).
 
@@ -294,6 +295,8 @@ def prefill_chunk(
             h2 = apply_norm(blk["ln2"], x, cfg.norm_eps)
             x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h2))
 
+    if all_logits:
+        return _lm_logits(cfg, params, x), pool, mamba_state
     last = jnp.take(x, valid_len - 1, axis=0)
     logits = _lm_logits(cfg, params, last[None, :])[0]
     return logits, pool, mamba_state

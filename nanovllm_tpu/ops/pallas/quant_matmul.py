@@ -3,10 +3,10 @@ per-group).
 
 Why a kernel at all: weight-only quantization's win is HBM bandwidth — the
 kernel streams 1-byte (or half-byte) weights from HBM and dequantizes in VMEM
-registers right before feeding the MXU, so the bf16 weight tensor never
-exists in HBM. The XLA fallback (dequantize-then-dot) materializes it and
-doubles/quadruples weight traffic — exactly what decode, being memory-bound,
-cannot afford.
+right before feeding the MXU, so a bf16 copy of the weights never exists in
+HBM. The XLA fallback (dequantize-then-dot) materializes it and
+doubles/quadruples weight traffic — exactly what memory-bound decode can't
+afford.
 
 Layouts (see ops/quant.py):
   INT8: qw [K, N] int8, scale [N] f32 per out-channel.
@@ -15,9 +15,12 @@ Layouts (see ops/quant.py):
         concat along sublanes; scale [K/128, N] f32 per (group, channel).
 K and N are pre-padded to multiples of 128 at load time (QuantLinear).
 
-Grid: (M/BM, N/BN, K/BK) with BK = 128 = one INT4 group per step; fp32
-accumulation in VMEM scratch, scales applied at the final write (INT8) or per
-group-step (INT4).
+Scheduling: decode matmuls are skinny (M = batch lanes ≤ 256) and
+memory-bound, so per-grid-step work must be large enough to hide DMA latency.
+When the whole contraction dim fits in VMEM (K ≤ K_RESIDENT) the grid is just
+(M/bm, N/bn) with one big dot per step and no accumulator carry; for larger K
+we split with a coarse BK and accumulate in VMEM scratch. Mosaic note: int8
+vector shifts don't legalize — INT4 unpacking runs in int32.
 """
 
 from __future__ import annotations
@@ -31,8 +34,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nanovllm_tpu.ops.quant import INT4_GROUP_SIZE, QuantLinear
 
-BK = 128
-BN = 256
+K_RESIDENT = 8192  # max contraction dim kept fully in VMEM per grid step
+BK_SPLIT = 2048    # k-split chunk for very large K
 _INTERPRET = False  # flipped by tests on CPU
 
 
@@ -41,10 +44,13 @@ def set_interpret(flag: bool) -> None:
     _INTERPRET = flag
 
 
-def _bn_for(n: int) -> int:
-    # N is pre-padded to a multiple of 128; prefer 256-wide tiles when they
-    # divide evenly.
-    return BN if n % BN == 0 else 128
+def _bn_for(n: int, k: int) -> int:
+    # Bigger n-tiles amortize per-step overhead; bound the weight block to
+    # ~2MB of VMEM (int8 bytes = k * bn).
+    for bn in (512, 256, 128):
+        if n % bn == 0 and k * bn <= (4 << 20):
+            return bn
+    return 128
 
 
 def _bm_for(m: int) -> int:
@@ -63,118 +69,160 @@ def _pad_rows(x: jnp.ndarray, bm: int) -> jnp.ndarray:
     return x
 
 
+def _unpack_int4(p: jnp.ndarray, dtype) -> jnp.ndarray:
+    """[rows, bn] packed int8 -> [2*rows, bn] dtype, group-paired layout.
+    rows must be a multiple of half-group (64)."""
+    half = INT4_GROUP_SIZE // 2
+    rows, bn = p.shape
+    g = rows // half
+    p32 = p.astype(jnp.int32)
+    low = jnp.right_shift(jnp.left_shift(p32, 28), 28)
+    high = jnp.right_shift(jnp.left_shift(p32, 24), 28)
+    w = jnp.concatenate(
+        [low.reshape(g, half, bn), high.reshape(g, half, bn)], axis=1
+    )
+    return w.reshape(2 * rows, bn).astype(dtype)
+
+
 # ---------------------------------------------------------------------------
-# INT8
+# K-resident kernels: grid (M/bm, N/bn), one dot per step
 # ---------------------------------------------------------------------------
 
 
-def _int8_kernel(x_ref, qw_ref, scale_ref, o_ref, acc_ref, *, nk: int):
+def _int8_kernel_kres(x_ref, qw_ref, scale_ref, o_ref):
+    w = qw_ref[:].astype(x_ref.dtype)
+    acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    o_ref[:] = acc * scale_ref[:].astype(jnp.float32)
+
+
+def _int4_kernel_kres(x_ref, qw_ref, scale_ref, o_ref):
+    w = _unpack_int4(qw_ref[:], jnp.float32)  # [K, bn]
+    # Apply per-group scales to the weights before the dot (exact).
+    g, bn = scale_ref.shape
+    w = (w.reshape(g, INT4_GROUP_SIZE, bn) * scale_ref[:].astype(jnp.float32)[:, None, :]).reshape(
+        g * INT4_GROUP_SIZE, bn
+    )
+    o_ref[:] = jnp.dot(x_ref[:], w.astype(x_ref.dtype), preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# K-split kernels: grid (M/bm, N/bn, K/BK) with VMEM accumulator
+# ---------------------------------------------------------------------------
+
+
+def _int8_kernel_ksplit(x_ref, qw_ref, scale_ref, o_ref, acc_ref, *, nk: int):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = qw_ref[:].astype(x_ref.dtype)
-    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(
+        x_ref[:], qw_ref[:].astype(x_ref.dtype), preferred_element_type=jnp.float32
+    )
 
     @pl.when(k == nk - 1)
     def _():
         o_ref[:] = acc_ref[:] * scale_ref[:].astype(jnp.float32)
 
 
-def _int8_call(x: jnp.ndarray, qw: jnp.ndarray, scale2d: jnp.ndarray, bm: int) -> jnp.ndarray:
-    M, K = x.shape
-    N = qw.shape[1]
-    bn = _bn_for(N)
-    grid = (M // bm, N // bn, K // BK)
-    return pl.pallas_call(
-        functools.partial(_int8_kernel, nk=grid[2]),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, BK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BK, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * M * N * K, bytes_accessed=M * K * 2 + K * N + M * N * 4, transcendentals=0
-        ),
-        interpret=_INTERPRET,
-    )(x, qw, scale2d)
-
-
-# ---------------------------------------------------------------------------
-# INT4
-# ---------------------------------------------------------------------------
-
-
-def _int4_kernel(x_ref, qw_ref, scale_ref, o_ref, acc_ref, *, nk: int):
+def _int4_kernel_ksplit(x_ref, qw_ref, scale_ref, o_ref, acc_ref, *, nk: int, gpb: int):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    p = qw_ref[:]  # [BK//2, bn] packed: this k-step's whole group
-    low = jnp.right_shift(jnp.left_shift(p, 4), 4)
-    high = jnp.right_shift(p, 4)
-    w = jnp.concatenate([low, high], axis=0).astype(x_ref.dtype)  # [BK, bn]
-    part = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
-    acc_ref[:] += part * scale_ref[:].astype(jnp.float32)  # per-group scale row
+    w = _unpack_int4(qw_ref[:], jnp.float32)  # [BK, bn]
+    bn = w.shape[1]
+    sc = scale_ref[pl.ds(k * gpb, gpb), :].astype(jnp.float32)  # this chunk's groups
+    w = (w.reshape(gpb, INT4_GROUP_SIZE, bn) * sc[:, None, :]).reshape(-1, bn)
+    acc_ref[:] += jnp.dot(x_ref[:], w.astype(x_ref.dtype), preferred_element_type=jnp.float32)
 
     @pl.when(k == nk - 1)
     def _():
         o_ref[:] = acc_ref[:]
 
 
-def _int4_call(x: jnp.ndarray, qw: jnp.ndarray, scales: jnp.ndarray, bm: int) -> jnp.ndarray:
-    M, K = x.shape
-    N = qw.shape[1]
-    bn = _bn_for(N)
-    half = INT4_GROUP_SIZE // 2
-    grid = (M // bm, N // bn, K // INT4_GROUP_SIZE)
-    return pl.pallas_call(
-        functools.partial(_int4_kernel, nk=grid[2]),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, INT4_GROUP_SIZE), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((half, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * M * N * K, bytes_accessed=M * K * 2 + K * N // 2 + M * N * 4, transcendentals=0
-        ),
-        interpret=_INTERPRET,
-    )(x, qw, scales)
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
 
 
-# ---------------------------------------------------------------------------
-# Entry
-# ---------------------------------------------------------------------------
+def _common(M, N, K, mode):
+    flops = 2 * M * N * K
+    wbytes = K * N * (1 if mode == "int8" else 0.5)
+    return pl.CostEstimate(
+        flops=flops, bytes_accessed=int(M * K * 2 + wbytes + M * N * 4), transcendentals=0
+    )
 
 
 def quant_matmul(x: jnp.ndarray, p: QuantLinear) -> jnp.ndarray:
     """x [M, n_in] -> [M, n_out] fp32."""
     M = x.shape[0]
-    K_pad = p.qw.shape[0] * (2 if p.mode == "int4" else 1)
+    is4 = p.mode == "int4"
+    K = p.qw.shape[0] * (2 if is4 else 1)
+    N = p.qw.shape[1]
     bm = _bm_for(M)
     xp = _pad_rows(x, bm)
-    if K_pad != x.shape[1]:
-        xp = jnp.pad(xp, ((0, 0), (0, K_pad - x.shape[1])))
-    if p.mode == "int8":
-        y = _int8_call(xp, p.qw, p.scale.reshape(1, -1), bm)
+    if K != x.shape[1]:
+        xp = jnp.pad(xp, ((0, 0), (0, K - x.shape[1])))
+    Mp = xp.shape[0]
+    kbytes = K if not is4 else K // 2
+    bn = _bn_for(N, kbytes)
+    scale2d = p.scale.reshape(1, -1) if not is4 else p.scale
+    g = scale2d.shape[0]
+
+    if K <= K_RESIDENT:
+        grid = (Mp // bm, N // bn)
+        kernel = _int8_kernel_kres if not is4 else _int4_kernel_kres
+        y = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((kbytes, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, bn) if is4 else (1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            cost_estimate=_common(Mp, N, K, p.mode),
+            interpret=_INTERPRET,
+        )(xp, p.qw, scale2d)
     else:
-        y = _int4_call(xp, p.qw, p.scale, bm)
+        BK = BK_SPLIT
+        nk = K // BK if K % BK == 0 else None
+        if nk is None:
+            BK = INT4_GROUP_SIZE if is4 else 128
+            nk = K // BK
+        gpb = BK // INT4_GROUP_SIZE
+        grid = (Mp // bm, N // bn, nk)
+        if is4:
+            kernel = functools.partial(_int4_kernel_ksplit, nk=nk, gpb=gpb)
+            scale_spec = pl.BlockSpec((g, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM)
+        else:
+            kernel = functools.partial(_int8_kernel_ksplit, nk=nk)
+            scale_spec = pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM)
+        y = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, BK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (BK // 2 if is4 else BK, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+                ),
+                scale_spec,
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=_common(Mp, N, K, p.mode),
+            interpret=_INTERPRET,
+        )(xp, p.qw, scale2d)
     return y[:M, : p.n_out]

@@ -55,28 +55,42 @@ def sample(
     step: jnp.ndarray,        # scalar int32 (decode step counter)
 ) -> jnp.ndarray:
     B, V = logits.shape
-    logits = apply_repetition_penalty(logits, history, hist_lens, rep_pens)
+    any_penalty = jnp.any(rep_pens != 1.0)
+    logits = jax.lax.cond(
+        any_penalty,
+        lambda l: apply_repetition_penalty(l, history, hist_lens, rep_pens),
+        lambda l: l,
+        logits,
+    )
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    temp = jnp.maximum(temperatures, 1e-6)[:, None]
-    probs = jax.nn.softmax(logits / temp, axis=-1)
+    def stochastic(_):
+        temp = jnp.maximum(temperatures, 1e-6)[:, None]
+        probs = jax.nn.softmax(logits / temp, axis=-1)
 
-    # Sort once; reuse for both top-k and top-p thresholds.
-    sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]  # descending
-    k = jnp.where(top_ks > 0, jnp.minimum(top_ks, V), V)
-    kth_val = jnp.take_along_axis(sorted_probs, (k - 1)[:, None], axis=1)  # [B,1]
-    cumsum = jnp.cumsum(sorted_probs, axis=-1)
-    include = cumsum - sorted_probs < top_ps[:, None]  # nucleus: keep while mass below p
-    include = include.at[:, 0].set(True)
-    # Smallest included probability = top-p cutoff value.
-    cut_idx = jnp.sum(include.astype(jnp.int32), axis=-1) - 1
-    p_cut = jnp.take_along_axis(sorted_probs, cut_idx[:, None], axis=1)
-    keep = (probs >= kth_val) & (probs >= p_cut)
-    probs = jnp.where(keep, probs, 0.0)
+        def filtered(probs):
+            # Sort once; reuse for both top-k and top-p thresholds.
+            sorted_probs = jnp.sort(probs, axis=-1)[:, ::-1]  # descending
+            k = jnp.where(top_ks > 0, jnp.minimum(top_ks, V), V)
+            kth_val = jnp.take_along_axis(sorted_probs, (k - 1)[:, None], axis=1)
+            cumsum = jnp.cumsum(sorted_probs, axis=-1)
+            include = cumsum - sorted_probs < top_ps[:, None]  # keep while mass below p
+            include = include.at[:, 0].set(True)
+            cut_idx = jnp.sum(include.astype(jnp.int32), axis=-1) - 1
+            p_cut = jnp.take_along_axis(sorted_probs, cut_idx[:, None], axis=1)
+            keep = (probs >= kth_val) & (probs >= p_cut)
+            return jnp.where(keep, probs, 0.0)
 
-    base = jax.random.PRNGKey(0)
-    keys = jax.vmap(lambda s: jax.random.fold_in(jax.random.fold_in(base, s), step))(seeds)
-    gumbel = jax.vmap(lambda kk: jax.random.gumbel(kk, (V,), jnp.float32))(keys)
-    sampled = jnp.argmax(jnp.log(jnp.maximum(probs, 1e-30)) + gumbel, axis=-1).astype(jnp.int32)
+        need_filter = jnp.any(top_ks > 0) | jnp.any(top_ps < 1.0)
+        probs = jax.lax.cond(need_filter, filtered, lambda p: p, probs)
 
+        base = jax.random.PRNGKey(0)
+        keys = jax.vmap(lambda s: jax.random.fold_in(jax.random.fold_in(base, s), step))(seeds)
+        gumbel = jax.vmap(lambda kk: jax.random.gumbel(kk, (V,), jnp.float32))(keys)
+        return jnp.argmax(jnp.log(jnp.maximum(probs, 1e-30)) + gumbel, axis=-1).astype(jnp.int32)
+
+    # Skip softmax/sort/PRNG entirely when every lane is greedy (the CLI and
+    # bench default) — the [B, V] sort is the expensive part of sampling.
+    all_greedy = jnp.all(temperatures == 0.0)
+    sampled = jax.lax.cond(all_greedy, lambda _: greedy_tok, stochastic, None)
     return jnp.where(temperatures == 0.0, greedy_tok, sampled)
