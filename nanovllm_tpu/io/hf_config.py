@@ -62,7 +62,7 @@ def model_config_from_hf(cfg: dict, dtype: str = "bfloat16") -> ModelConfig:
     hidden = _g(cfg, "hidden_size", "n_embd")
     layers = _g(cfg, "num_hidden_layers", "n_layer")
     heads = _g(cfg, "num_attention_heads", "n_head")
-    kv_heads = _g(cfg, "num_key_value_heads", "n_kv_heads", default=heads)
+    kv_heads = _g(cfg, "num_key_value_heads", "num_kv_heads", "n_kv_heads", default=heads)
     if _g(cfg, "multi_query", default=False):
         kv_heads = 1
     vocab = _g(cfg, "vocab_size")
@@ -111,12 +111,17 @@ def model_config_from_hf(cfg: dict, dtype: str = "bfloat16") -> ModelConfig:
 
     if mt == "falcon":
         parallel = _g(cfg, "parallel_attn", default=True)
+        new_arch = _g(cfg, "new_decoder_architecture", default=False)
+        if not new_arch and _g(cfg, "multi_query", default=True):
+            common["num_kv_heads"] = 1
         return ModelConfig(
             **common,
             norm_type=NormType.LAYERNORM,
             position_type=PositionType.ROPE,
             activation=ActivationType.GELU,
-            block_style=BlockStyle.PARALLEL if parallel else BlockStyle.SEQUENTIAL,
+            block_style=BlockStyle.PARALLEL if (parallel or new_arch) else BlockStyle.SEQUENTIAL,
+            # Falcon-40B (new_decoder_architecture) has separate ln_attn/ln_mlp.
+            parallel_single_ln=not new_arch,
             attn_bias=_g(cfg, "bias", default=False),
             mlp_bias=_g(cfg, "bias", default=False),
         )

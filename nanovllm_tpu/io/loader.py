@@ -194,14 +194,18 @@ def convert_falcon(sd: dict, cfg: ModelConfig) -> dict:
     }
     if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
         params["lm_head"] = _lin_t(sd, "lm_head.weight")
+    # Falcon-40B ("new decoder architecture") has separate ln_attn/ln_mlp and
+    # a per-KV-group interleaved fused QKV; Falcon-7B has a single
+    # input_layernorm and a plain [Q..., K, V] split.
+    new_arch = "transformer.h.0.ln_attn.weight" in sd
     for i in range(cfg.num_layers):
         p = f"transformer.h.{i}"
         qkv = sd[f"{p}.self_attention.query_key_value.weight"]
         q, k, v = split_falcon_qkv(
-            qkv, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, new_decoder_arch=False
+            qkv, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, new_decoder_arch=new_arch
         )
         blk = {
-            "ln1": _norm(sd, f"{p}.input_layernorm"),
+            "ln1": _norm(sd, f"{p}.ln_attn" if new_arch else f"{p}.input_layernorm"),
             "attn": {
                 "q": {"w": np.ascontiguousarray(q.T)},
                 "k": {"w": np.ascontiguousarray(k.T)},
@@ -213,6 +217,8 @@ def convert_falcon(sd: dict, cfg: ModelConfig) -> dict:
                 "down": _lin_t(sd, f"{p}.mlp.dense_4h_to_h.weight", f"{p}.mlp.dense_4h_to_h.bias"),
             },
         }
+        if new_arch:
+            blk["ln2"] = _norm(sd, f"{p}.ln_mlp")
         params["blocks"].append(blk)
     return params
 

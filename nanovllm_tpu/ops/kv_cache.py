@@ -88,8 +88,10 @@ def kv_write(pool: dict, layer: int, k: jnp.ndarray, v: jnp.ndarray, slot_mappin
         qv, sv = _quantize_kv(v)
         out["k"] = pool["k"].at[layer, slot_mapping].set(qk.reshape(T, -1), mode="drop")
         out["v"] = pool["v"].at[layer, slot_mapping].set(qv.reshape(T, -1), mode="drop")
-        out["k_scale"] = pool["k_scale"].at[layer, :, slot_mapping].set(sk.T, mode="drop")
-        out["v_scale"] = pool["v_scale"].at[layer, :, slot_mapping].set(sv.T, mode="drop")
+        # Mixed basic/advanced indexing puts the advanced (slot) axis first,
+        # so the update value is [T, Hkv], not transposed.
+        out["k_scale"] = pool["k_scale"].at[layer, :, slot_mapping].set(sk, mode="drop")
+        out["v_scale"] = pool["v_scale"].at[layer, :, slot_mapping].set(sv, mode="drop")
     else:
         dt = pool["k"].dtype
         out["k"] = pool["k"].at[layer, slot_mapping].set(k.astype(dt).reshape(T, -1), mode="drop")

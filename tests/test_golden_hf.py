@@ -131,6 +131,19 @@ def test_falcon_mqa_golden(tmp_path):
     check_model(tmp_path, m, TOKENS)
 
 
+def test_falcon40b_style_new_decoder_arch_golden(tmp_path):
+    from transformers import FalconConfig, FalconForCausalLM
+
+    m = FalconForCausalLM(
+        FalconConfig(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=8,
+            num_kv_heads=2, multi_query=False, parallel_attn=True,
+            new_decoder_architecture=True, alibi=False, bias=False, vocab_size=101,
+        )
+    ).eval()
+    check_model(tmp_path, m, TOKENS)
+
+
 def test_granite_moe_golden(tmp_path):
     from transformers import GraniteMoeConfig, GraniteMoeForCausalLM
 
@@ -158,6 +171,25 @@ def test_granite_hybrid_mamba2_golden(tmp_path):
             mamba_n_heads=8, mamba_d_head=16, mamba_d_state=16,
             mamba_n_groups=1, mamba_d_conv=4,
             layer_types=["mamba", "attention", "mamba", "mamba"],
+        )
+    ).eval()
+    check_model(tmp_path, m, TOKENS, rtol=1e-3, atol=1e-3)
+
+
+def test_granite_hybrid_moe_golden(tmp_path):
+    """Granite 4.0 full hybrid: Mamba2 + routed experts + shared expert."""
+    pytest.importorskip("transformers.models.granitemoehybrid")
+    from transformers import GraniteMoeHybridConfig, GraniteMoeHybridForCausalLM
+
+    m = GraniteMoeHybridForCausalLM(
+        GraniteMoeHybridConfig(
+            hidden_size=64, num_hidden_layers=3, num_attention_heads=4,
+            num_key_value_heads=2, intermediate_size=48,
+            shared_intermediate_size=64, num_local_experts=4,
+            num_experts_per_tok=2, vocab_size=101,
+            mamba_n_heads=8, mamba_d_head=16, mamba_d_state=16,
+            mamba_n_groups=1, mamba_d_conv=4,
+            layer_types=["mamba", "attention", "mamba"],
         )
     ).eval()
     check_model(tmp_path, m, TOKENS, rtol=1e-3, atol=1e-3)
