@@ -220,6 +220,11 @@ class EngineConfig:
     # two between min_prefill_bucket and max_model_len to bound recompiles.
     max_decode_slots: int = 64
     min_prefill_bucket: int = 128
+    # Decode steps executed per device dispatch (multi-step decode): sampled
+    # tokens feed the next step on device via lax.scan, amortizing host
+    # round-trips. Sequences may overshoot EOS by < decode_burst tokens
+    # (trimmed at postprocess) — the standard multi-step scheduling tradeoff.
+    decode_burst: int = 8
     # KV cache quantization: "none" | "int8"
     kv_cache_dtype: str = "none"
     # Weight quantization: "none" | "int8" | "int4"

@@ -122,6 +122,42 @@ class BlockManager:
         seq.num_cached_tokens = 0
         seq.block_table = []
 
+    # ---- burst capacity (multi-step decode) ------------------------------
+
+    def blocks_needed(self, seq: Sequence, n_tokens: int) -> int:
+        """Extra blocks required so the KV of a burst writing positions up to
+        len(seq)+n_tokens-2 (and the appended tokens themselves up to
+        len+n-1... use the conservative token count) fits."""
+        total = len(seq) + n_tokens
+        need = (total + self.block_size - 1) // self.block_size
+        return max(0, need - len(seq.block_table))
+
+    def can_ensure(self, seq: Sequence, n_tokens: int) -> bool:
+        return self.num_free_blocks >= self.blocks_needed(seq, n_tokens)
+
+    def ensure_capacity(self, seq: Sequence, n_tokens: int) -> None:
+        for _ in range(self.blocks_needed(seq, n_tokens)):
+            block_id = self.free_block_ids[0]
+            self._allocate_block(block_id)
+            seq.block_table.append(block_id)
+
+    def seal_full_blocks(self, seq: Sequence) -> None:
+        """Seal chained hashes for any full blocks not yet hashed (called
+        after tokens are appended in postprocess). Equivalent to the hash-seal
+        half of the reference's MayAppend (block_manager.go:243-263)."""
+        if not self.enable_prefix_caching:
+            return
+        full = len(seq) // self.block_size
+        prev = -1
+        for i in range(full):
+            block = self.blocks[seq.block_table[i]]
+            if block.hash == -1:
+                token_ids = seq.block(i)
+                h = compute_hash(token_ids, prev)
+                block.update(h, token_ids)
+                self.hash_to_block_id[h] = block.block_id
+            prev = block.hash
+
     def can_append(self, seq: Sequence) -> bool:
         # A new block is needed exactly when the appended token starts one
         # (reference block_manager.go:222-228).

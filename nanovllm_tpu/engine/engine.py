@@ -113,6 +113,7 @@ class LLMEngine:
         if not seqs:
             return []
         t0 = time.perf_counter()
+        lens_before = {s.seq_id: len(s) for s in seqs}
         token_ids = self.runner.run(seqs, is_prefill)
         dt = time.perf_counter() - t0
         now = time.perf_counter()
@@ -127,8 +128,11 @@ class LLMEngine:
                     ttft = now - self._arrival[s.seq_id]
                     self._first_token[s.seq_id] = ttft
                     self.registry.observe("ttft_s", ttft)
-        else:
-            self.metrics["decode_tokens"] += len(seqs)
+        finished = self.scheduler.postprocess(seqs, token_ids)
+        if not is_prefill:
+            # Count tokens actually accepted (bursts are trimmed at stop).
+            appended = sum(len(s) - lens_before[s.seq_id] for s in seqs)
+            self.metrics["decode_tokens"] += appended
             self.metrics["decode_time"] += dt
             self.registry.observe("decode_step_s", dt)
         self.metrics["preemptions"] = self.scheduler.num_preemptions
@@ -137,7 +141,9 @@ class LLMEngine:
             num_seqs=len(seqs),
             duration_s=round(dt, 6),
             batched_tokens=(
-                sum(len(s) - s.num_cached_tokens for s in seqs) if is_prefill else len(seqs)
+                sum(len(s) - s.num_cached_tokens for s in seqs)
+                if is_prefill
+                else sum(len(s) - lens_before[s.seq_id] for s in seqs)
             ),
             cached_tokens=sum(s.num_cached_tokens for s in seqs) if is_prefill else 0,
             running=self.scheduler.num_running(),
@@ -145,7 +151,6 @@ class LLMEngine:
             free_blocks=self.scheduler.block_manager.num_free_blocks,
             preemptions=self.scheduler.num_preemptions,
         )
-        finished = self.scheduler.postprocess(seqs, token_ids)
         outputs = []
         for seq in finished:
             text = self.tokenizer.decode(seq.completion_token_ids)

@@ -71,7 +71,9 @@ class Scheduler:
             self.running.extend(scheduled)
             return scheduled, True
 
-        # --- Decode branch ---
+        # --- Decode branch (multi-step burst): every scheduled sequence gets
+        # block capacity for `decode_burst` appended tokens up front ---
+        burst = self.config.decode_burst
         decode: list[Sequence] = []
         n = len(self.running)
         for _ in range(n):
@@ -79,7 +81,7 @@ class Scheduler:
                 break
             seq = self.running.popleft()
             preempted_self = False
-            while not self.block_manager.can_append(seq):
+            while not self.block_manager.can_ensure(seq, burst):
                 if self.running:
                     self._preempt(self.running.pop())
                 else:
@@ -88,7 +90,7 @@ class Scheduler:
                     break
             if preempted_self:
                 continue
-            self.block_manager.may_append(seq)
+            self.block_manager.ensure_capacity(seq, burst)
             decode.append(seq)
         self.running.extend(decode)
         if not decode and self.waiting and not self.running:
@@ -111,22 +113,26 @@ class Scheduler:
             seq.slot = None
         self.waiting.appendleft(seq)
 
-    def postprocess(self, seqs: list[Sequence], token_ids: list[int]) -> list[Sequence]:
-        """Append sampled tokens; finish on EOS/stop-token (unless ignore_eos)
-        or max_tokens. NOTE: may_append for the new token happens at the NEXT
-        schedule() call, matching the reference's ordering."""
+    def postprocess(self, seqs: list[Sequence], token_bursts: list[list[int]]) -> list[Sequence]:
+        """Append sampled tokens (a burst per sequence — tokens past a stop
+        condition are discarded); seal prefix-cache hashes for newly-filled
+        blocks; finish on EOS/stop-token (unless ignore_eos) or max_tokens."""
         finished = []
-        for seq, token_id in zip(seqs, token_ids):
-            seq.append_token(token_id)
+        for seq, burst in zip(seqs, token_bursts):
             sp = seq.sampling_params
             stop_ids = set(sp.stop_token_ids)
             if self.eos_token_id >= 0:
                 stop_ids.add(self.eos_token_id)
-            if not sp.ignore_eos and token_id in stop_ids:
-                seq.finish_reason = "stop"
-            elif seq.num_completion_tokens >= sp.max_tokens:
-                seq.finish_reason = "length"
-            else:
+            for token_id in burst:
+                seq.append_token(token_id)
+                if not sp.ignore_eos and token_id in stop_ids:
+                    seq.finish_reason = "stop"
+                    break
+                if seq.num_completion_tokens >= sp.max_tokens:
+                    seq.finish_reason = "length"
+                    break
+            self.block_manager.seal_full_blocks(seq)
+            if seq.finish_reason is None:
                 continue
             seq.status = SequenceStatus.FINISHED
             self.block_manager.deallocate(seq)

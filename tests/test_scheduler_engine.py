@@ -20,6 +20,7 @@ def make_engine(**kw):
         kv_block_size=16,
         eos_token_id=0,
         max_decode_slots=8,
+        decode_burst=kw.pop("decode_burst", 1),
         **kw,
     )
     return LLMEngine(None, cfg, runner=MockModelRunner(eos_token_id=0, eos_every=10), tokenizer=MockTokenizer(), num_kv_blocks=64)
@@ -48,7 +49,7 @@ def test_outputs_ordered_by_request():
 def test_prefill_priority_and_budget():
     cfg = EngineConfig(
         max_num_batched_tokens=256, max_num_seqs=4, max_model_len=128,
-        kv_block_size=16, max_decode_slots=4,
+        kv_block_size=16, max_decode_slots=4, decode_burst=1,
     )
     sch = Scheduler(cfg, num_kv_blocks=64)
     for i in range(6):
@@ -64,7 +65,7 @@ def test_preemption_requeues_and_finishes():
     # Tiny pool: force decode-time preemption.
     cfg = EngineConfig(
         max_num_batched_tokens=4096, max_num_seqs=4, max_model_len=128,
-        kv_block_size=16, max_decode_slots=4,
+        kv_block_size=16, max_decode_slots=4, decode_burst=1,
     )
     sch = Scheduler(cfg, num_kv_blocks=5)  # 80 tokens total
     a = Sequence([1] * 31, SamplingParams(max_tokens=64, ignore_eos=True), 16)
@@ -80,7 +81,7 @@ def test_preemption_requeues_and_finishes():
         if is_prefill:
             preempted = True
             break
-        sch.postprocess(seqs, [5] * len(seqs))
+        sch.postprocess(seqs, [[5]] * len(seqs))
     # One of the two must have been preempted back to waiting (or already
     # re-admitted via a prefill) once blocks ran out.
     assert preempted or sch.num_waiting() >= 1
@@ -103,3 +104,23 @@ def test_add_request_validation():
         eng.add_request([], SamplingParams())
     with pytest.raises(ValueError):
         eng.add_request([1] * 400, SamplingParams())  # > max_model_len
+
+
+def test_decode_burst_equivalent_to_single_step():
+    """Multi-step bursts must yield the same final outputs as single-step
+    decode (mock runner is deterministic in completion position)."""
+    def run(burst):
+        cfg = EngineConfig(
+            max_num_batched_tokens=4096, max_num_seqs=8, max_model_len=256,
+            kv_block_size=16, eos_token_id=0, max_decode_slots=8,
+            decode_burst=burst,
+        )
+        eng = LLMEngine(
+            None, cfg,
+            runner=MockModelRunner(eos_token_id=0, eos_every=10, burst=burst),
+            tokenizer=MockTokenizer(), num_kv_blocks=128,
+        )
+        outs = eng.generate([[i + 1] * 5 for i in range(4)], SamplingParams(max_tokens=17))
+        return [o.token_ids for o in outs]
+
+    assert run(1) == run(4)
