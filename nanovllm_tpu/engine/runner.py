@@ -107,6 +107,10 @@ class TPUModelRunner:
         self.mcfg = model_cfg
         self.ecfg = engine_cfg
         self.params = params if params is not None else M.init_params(model_cfg)
+        if not model_cfg.is_hybrid:
+            # Layer-stacked params => scan-over-layers forward (compiles the
+            # layer body once instead of num_layers inlined copies).
+            self.params = M.stack_blocks(self.params)
         self.num_kv_blocks = num_kv_blocks or default_num_kv_blocks(model_cfg, engine_cfg)
         bs = engine_cfg.kv_block_size
         self.block_size = bs

@@ -163,6 +163,18 @@ def to_device_params(params, cfg: ModelConfig):
     return walk(params)
 
 
+def stack_blocks(params: dict) -> dict:
+    """Stack the per-layer block list into layer-leading arrays so the
+    forward can lax.scan over layers (one compiled layer body). Only valid
+    for homogeneous stacks (non-hybrid models with identical per-layer
+    structure, which is every supported family except Granite 4.0 hybrid)."""
+    blocks = params["blocks"]
+    if not isinstance(blocks, list):
+        return params
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+    return {**params, "blocks": stacked}
+
+
 # ---------------------------------------------------------------------------
 # Building blocks
 # ---------------------------------------------------------------------------
@@ -262,30 +274,21 @@ def prefill_chunk(
     if cfg.position_type == PositionType.ROPE:
         cos_sin = rope_cos_sin(positions, params["rope_inv_freq"])
 
-    for i, blk in enumerate(params["blocks"]):
-        if cfg.layer_kind(i) == LayerKind.MAMBA2:
-            h = apply_norm(blk["ln1"], x, cfg.norm_eps)
-            h, mamba_state = mamba_ops.mamba2_prefill(
-                cfg, blk["mamba"], h, valid_len, mamba_state, i, slot_idx
-            )
-            x = _residual_add(cfg, x, h)
-            h = apply_norm(blk["ln2"], x, cfg.norm_eps)
-            x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h))
-            continue
-
+    def attn_layer(blk, x, pool_l, use_rope):
         h = apply_norm(blk["ln1"], x, cfg.norm_eps)
         q, k, v = _qkv(cfg, blk["attn"], h)
-        if cos_sin is not None and _use_rope(cfg, i):
+        if cos_sin is not None and use_rope:
             q = apply_rope(q, *cos_sin)
             k = apply_rope(k, *cos_sin)
-        pool = kvc.kv_write(pool, i, k, v, slot_mapping)
-        k_ctx, v_ctx = kvc.kv_gather(pool, i, block_table[None, :], block_size, cfg.num_kv_heads, dtype=x.dtype)
+        pool_l = kvc.kv_write_layer(pool_l, k, v, slot_mapping)
+        k_ctx, v_ctx = kvc.kv_gather_layer(
+            pool_l, block_table[None, :], block_size, cfg.num_kv_heads, dtype=x.dtype
+        )
         attn = attention_chunk(
             q, k_ctx[0], v_ctx[0], positions, k_positions, context_len,
             cfg.attn_scale, cfg.sliding_window,
         )
         attn_out = linear(blk["attn"]["o"], attn.reshape(attn.shape[0], -1))
-
         if cfg.block_style == BlockStyle.PARALLEL:
             # Falcon: x + attn(ln x) + ffn(ln x), single shared LN.
             h2 = h if cfg.parallel_single_ln else apply_norm(blk["ln2"], x, cfg.norm_eps)
@@ -294,6 +297,32 @@ def prefill_chunk(
             x = _residual_add(cfg, x, attn_out)
             h2 = apply_norm(blk["ln2"], x, cfg.norm_eps)
             x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h2))
+        return x, pool_l
+
+    if not isinstance(params["blocks"], list):
+        # Homogeneous stack: lax.scan over layer-stacked params + pool layers
+        # (compiles the layer body ONCE — 16-layer models otherwise inline 16
+        # copies and take minutes on the remote compiler).
+        def body(x, per_layer):
+            blk, pool_l = per_layer
+            x, pool_l = attn_layer(blk, x, pool_l, _use_rope(cfg, 0))
+            return x, pool_l
+
+        x, pool = jax.lax.scan(body, x, (params["blocks"], pool))
+    else:
+        for i, blk in enumerate(params["blocks"]):
+            if cfg.layer_kind(i) == LayerKind.MAMBA2:
+                h = apply_norm(blk["ln1"], x, cfg.norm_eps)
+                h, mamba_state = mamba_ops.mamba2_prefill(
+                    cfg, blk["mamba"], h, valid_len, mamba_state, i, slot_idx
+                )
+                x = _residual_add(cfg, x, h)
+                h = apply_norm(blk["ln2"], x, cfg.norm_eps)
+                x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h))
+                continue
+            pool_l = kvc.pool_layer(pool, i)
+            x, pool_l = attn_layer(blk, x, pool_l, _use_rope(cfg, i))
+            pool = kvc.set_pool_layer(pool, i, pool_l)
 
     if all_logits:
         return _lm_logits(cfg, params, x), pool, mamba_state
@@ -325,28 +354,19 @@ def decode_step(
     if cfg.position_type == PositionType.ROPE:
         cos_sin = rope_cos_sin(positions, params["rope_inv_freq"])
 
-    for i, blk in enumerate(params["blocks"]):
-        if cfg.layer_kind(i) == LayerKind.MAMBA2:
-            h = apply_norm(blk["ln1"], x, cfg.norm_eps)
-            h, mamba_state = mamba_ops.mamba2_decode(cfg, blk["mamba"], h, mamba_state, i)
-            x = _residual_add(cfg, x, h)
-            h = apply_norm(blk["ln2"], x, cfg.norm_eps)
-            x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h))
-            continue
-
+    def attn_layer(blk, x, pool_l, use_rope):
         h = apply_norm(blk["ln1"], x, cfg.norm_eps)
         B = h.shape[0]
-        q = linear(blk["attn"]["q"], h).reshape(B, cfg.num_heads, cfg.head_dim)
-        k = linear(blk["attn"]["k"], h).reshape(B, cfg.num_kv_heads, cfg.head_dim)
-        v = linear(blk["attn"]["v"], h).reshape(B, cfg.num_kv_heads, cfg.head_dim)
-        if cos_sin is not None and _use_rope(cfg, i):
+        q, k, v = _qkv(cfg, blk["attn"], h)
+        if cos_sin is not None and use_rope:
             q = apply_rope(q, *cos_sin)
             k = apply_rope(k, *cos_sin)
-        pool = kvc.kv_write(pool, i, k, v, slot_mapping)
-        k_ctx, v_ctx = kvc.kv_gather(pool, i, block_tables, block_size, cfg.num_kv_heads, dtype=x.dtype)
+        pool_l = kvc.kv_write_layer(pool_l, k, v, slot_mapping)
+        k_ctx, v_ctx = kvc.kv_gather_layer(
+            pool_l, block_tables, block_size, cfg.num_kv_heads, dtype=x.dtype
+        )
         attn = attention_decode(q, k_ctx, v_ctx, context_lens, cfg.attn_scale, cfg.sliding_window)
         attn_out = linear(blk["attn"]["o"], attn.reshape(B, -1))
-
         if cfg.block_style == BlockStyle.PARALLEL:
             h2 = h if cfg.parallel_single_ln else apply_norm(blk["ln2"], x, cfg.norm_eps)
             x = _residual_add(cfg, x, attn_out + _ffn_forward(cfg, blk, h2))
@@ -354,6 +374,27 @@ def decode_step(
             x = _residual_add(cfg, x, attn_out)
             h2 = apply_norm(blk["ln2"], x, cfg.norm_eps)
             x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h2))
+        return x, pool_l
+
+    if not isinstance(params["blocks"], list):
+        def body(x, per_layer):
+            blk, pool_l = per_layer
+            x, pool_l = attn_layer(blk, x, pool_l, _use_rope(cfg, 0))
+            return x, pool_l
+
+        x, pool = jax.lax.scan(body, x, (params["blocks"], pool))
+    else:
+        for i, blk in enumerate(params["blocks"]):
+            if cfg.layer_kind(i) == LayerKind.MAMBA2:
+                h = apply_norm(blk["ln1"], x, cfg.norm_eps)
+                h, mamba_state = mamba_ops.mamba2_decode(cfg, blk["mamba"], h, mamba_state, i)
+                x = _residual_add(cfg, x, h)
+                h = apply_norm(blk["ln2"], x, cfg.norm_eps)
+                x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h))
+                continue
+            pool_l = kvc.pool_layer(pool, i)
+            x, pool_l = attn_layer(blk, x, pool_l, _use_rope(cfg, i))
+            pool = kvc.set_pool_layer(pool, i, pool_l)
 
     logits = _lm_logits(cfg, params, x)
     return logits, pool, mamba_state

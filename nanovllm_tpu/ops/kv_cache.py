@@ -77,10 +77,39 @@ def _quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
+def kv_write_layer(pool_l: dict, k: jnp.ndarray, v: jnp.ndarray, slot_mapping: jnp.ndarray) -> dict:
+    """Layer-local scatter: pool_l holds one layer's arrays ('k'/'v'
+    [slots, Hkv*D], scales [Hkv, slots]). Used directly by the
+    scan-over-layers fast path."""
+    T = k.shape[0]
+    out = dict(pool_l)
+    if pool_l["k"].dtype == jnp.int8:
+        qk, sk = _quantize_kv(k)
+        qv, sv = _quantize_kv(v)
+        out["k"] = pool_l["k"].at[slot_mapping].set(qk.reshape(T, -1), mode="drop")
+        out["v"] = pool_l["v"].at[slot_mapping].set(qv.reshape(T, -1), mode="drop")
+        # x[:, idx] keeps the advanced axis in place (single adjacent
+        # advanced index), so the update value is [Hkv, T].
+        out["k_scale"] = pool_l["k_scale"].at[:, slot_mapping].set(sk.T, mode="drop")
+        out["v_scale"] = pool_l["v_scale"].at[:, slot_mapping].set(sv.T, mode="drop")
+    else:
+        dt = pool_l["k"].dtype
+        out["k"] = pool_l["k"].at[slot_mapping].set(k.astype(dt).reshape(T, -1), mode="drop")
+        out["v"] = pool_l["v"].at[slot_mapping].set(v.astype(dt).reshape(T, -1), mode="drop")
+    return out
+
+
+def pool_layer(pool: dict, layer: int) -> dict:
+    return {k: v[layer] for k, v in pool.items()}
+
+
+def set_pool_layer(pool: dict, layer: int, pool_l: dict) -> dict:
+    return {k: pool[k].at[layer].set(pool_l[k]) for k in pool}
+
+
 def kv_write(pool: dict, layer: int, k: jnp.ndarray, v: jnp.ndarray, slot_mapping: jnp.ndarray) -> dict:
-    """Scatter new K/V ([T, Hkv, D]) into the pool at flat slots
-    slot_mapping [T] (int32; any index >= num_slots is dropped → use
-    num_slots for padding lanes)."""
+    """Indexed wrapper over kv_write_layer (used by the per-layer Python loop
+    for heterogeneous/hybrid models)."""
     T = k.shape[0]
     out = dict(pool)
     if pool["k"].dtype == jnp.int8:
@@ -88,8 +117,6 @@ def kv_write(pool: dict, layer: int, k: jnp.ndarray, v: jnp.ndarray, slot_mappin
         qv, sv = _quantize_kv(v)
         out["k"] = pool["k"].at[layer, slot_mapping].set(qk.reshape(T, -1), mode="drop")
         out["v"] = pool["v"].at[layer, slot_mapping].set(qv.reshape(T, -1), mode="drop")
-        # Mixed basic/advanced indexing puts the advanced (slot) axis first,
-        # so the update value is [T, Hkv], not transposed.
         out["k_scale"] = pool["k_scale"].at[layer, :, slot_mapping].set(sk, mode="drop")
         out["v_scale"] = pool["v_scale"].at[layer, :, slot_mapping].set(sv, mode="drop")
     else:
@@ -114,20 +141,30 @@ def kv_gather(
     [B, max_blocks * block_size, Hkv, D] in `dtype` (dequantized if the pool
     is INT8).
     """
+    return kv_gather_layer(pool_layer(pool, layer), block_tables, block_size, num_kv_heads, dtype)
+
+
+def kv_gather_layer(
+    pool_l: dict,
+    block_tables: jnp.ndarray,
+    block_size: int,
+    num_kv_heads: int,
+    dtype=jnp.bfloat16,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     bs = block_size
     B, nb = block_tables.shape
     slots = block_tables[:, :, None] * bs + jnp.arange(bs, dtype=block_tables.dtype)[None, None, :]
     slots = slots.reshape(B, nb * bs)
     S = nb * bs
     Hkv = num_kv_heads
-    k = jnp.take(pool["k"][layer], slots, axis=0)  # [B, S, Hkv*D]
-    v = jnp.take(pool["v"][layer], slots, axis=0)
+    k = jnp.take(pool_l["k"], slots, axis=0)  # [B, S, Hkv*D]
+    v = jnp.take(pool_l["v"], slots, axis=0)
     D = k.shape[-1] // Hkv
     k = k.reshape(B, S, Hkv, D)
     v = v.reshape(B, S, Hkv, D)
-    if pool["k"].dtype == jnp.int8:
-        ks = jnp.take(pool["k_scale"][layer], slots, axis=1)  # [Hkv, B, S]
-        vs = jnp.take(pool["v_scale"][layer], slots, axis=1)
+    if pool_l["k"].dtype == jnp.int8:
+        ks = jnp.take(pool_l["k_scale"], slots, axis=1)  # [Hkv, B, S]
+        vs = jnp.take(pool_l["v_scale"], slots, axis=1)
         k = k.astype(jnp.float32) * ks.transpose(1, 2, 0)[..., None]
         v = v.astype(jnp.float32) * vs.transpose(1, 2, 0)[..., None]
     return k.astype(dtype), v.astype(dtype)
