@@ -50,6 +50,20 @@ from nanovllm_tpu.ops.rope import apply_rope, compute_inv_freq, rope_cos_sin
 from nanovllm_tpu.ops import moe as moe_ops
 from nanovllm_tpu.ops import mamba2 as mamba_ops
 
+# Tri-state: None = auto (TPU + non-quantized pool), True/False = forced.
+_USE_PAGED_KERNEL: bool | None = None
+
+
+def set_use_paged_kernel(flag: bool | None) -> None:
+    global _USE_PAGED_KERNEL
+    _USE_PAGED_KERNEL = flag
+
+
+def _paged_kernel_ok(pool_l: dict) -> bool:
+    if _USE_PAGED_KERNEL is not None:
+        return _USE_PAGED_KERNEL
+    return jax.default_backend() == "tpu" and pool_l["k"].dtype != jnp.int8
+
 
 # ---------------------------------------------------------------------------
 # Parameter initialization (random weights — used by tests and benchmarks;
@@ -362,10 +376,18 @@ def decode_step(
             q = apply_rope(q, *cos_sin)
             k = apply_rope(k, *cos_sin)
         pool_l = kvc.kv_write_layer(pool_l, k, v, slot_mapping)
-        k_ctx, v_ctx = kvc.kv_gather_layer(
-            pool_l, block_tables, block_size, cfg.num_kv_heads, dtype=x.dtype
-        )
-        attn = attention_decode(q, k_ctx, v_ctx, context_lens, cfg.attn_scale, cfg.sliding_window)
+        if _paged_kernel_ok(pool_l):
+            from nanovllm_tpu.ops.pallas.paged_attention import paged_attention_decode
+
+            attn = paged_attention_decode(
+                q, pool_l["k"], pool_l["v"], block_tables, context_lens,
+                cfg.num_kv_heads, block_size, cfg.attn_scale, cfg.sliding_window,
+            )
+        else:
+            k_ctx, v_ctx = kvc.kv_gather_layer(
+                pool_l, block_tables, block_size, cfg.num_kv_heads, dtype=x.dtype
+            )
+            attn = attention_decode(q, k_ctx, v_ctx, context_lens, cfg.attn_scale, cfg.sliding_window)
         attn_out = linear(blk["attn"]["o"], attn.reshape(B, -1))
         if cfg.block_style == BlockStyle.PARALLEL:
             h2 = h if cfg.parallel_single_ln else apply_norm(blk["ln2"], x, cfg.norm_eps)

@@ -1,0 +1,200 @@
+"""Paged decode attention Pallas kernel.
+
+The hot kernel of memory-bound decode (SURVEY.md §7 'Hard parts #1'). The XLA
+fallback in ops/attention.py gathers every lane's bucketed context window into
+a dense [B, S, Hkv, D] tensor per layer — pool-read + gather-write +
+attention-read (3x traffic) over the padded bucket. This kernel walks each
+sequence's block table and DMAs only its ceil(ctx/block_size) valid pages
+HBM→VMEM (double-buffered), flash-accumulating over pages: traffic = exactly
+the live KV bytes, once.
+
+Design note (TPU tiling): pool rows are [slots, Hkv*D] and per-head column
+slices are not lane-aligned for D < 128, so the kernel is gridded per BATCH
+LANE and processes ALL KV heads of a page with a single MXU dot against a
+block-diagonal query matrix
+
+    Q_full [Hkv*Gp, Hkv*D],  Q_full[h*Gp:(h+1)*Gp, h*D:(h+1)*D] = q_h
+
+— the zero blocks kill cross-head terms in Q_full @ page^T, and the
+head-diagonal of the [Hkv*Gp, Hkv*D] output block-matrix is extracted
+outside the kernel with an einsum. Page DMAs are always full rows (aligned),
+and scores/outputs for every head come from one dot pair per page.
+
+Block tables + context lengths ride scalar prefetch
+(pltpu.PrefetchScalarGridSpec) so DMA indices are known up front; sliding
+windows skip pages wholly outside the window.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+_INTERPRET = False
+
+
+def set_interpret(flag: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = flag
+
+
+def _kernel(
+    # scalar prefetch
+    bt_ref,      # [B, nb] int32 block tables
+    ctx_ref,     # [B] int32 context lengths
+    # inputs
+    q_ref,       # [1, Hkv*Gp, Hkv*D] block-diagonal queries for this lane
+    kpool_ref,   # [slots, Hkv*D] in ANY/HBM
+    vpool_ref,
+    # outputs
+    o_ref,       # [1, Hkv*Gp, Hkv*D]
+    # scratch
+    kbuf, vbuf,  # [2, bs, Hkv*D] VMEM double buffers
+    acc,         # [Hkv*Gp, Hkv*D] f32
+    m_i, l_i,    # [Hkv*Gp, 128] f32
+    sems,        # [2, 2] DMA semaphores
+    *,
+    bs: int,
+    nb: int,
+    scale: float,
+    window: int,
+):
+    b = pl.program_id(0)
+    ctx = ctx_ref[b]
+    n_pages = pl.cdiv(ctx, bs)
+    first_page = 0
+    if window > 0:
+        first_page = jnp.maximum(ctx - window, 0) // bs
+
+    def k_dma(slot, j):
+        page = bt_ref[b, j]
+        return pltpu.make_async_copy(
+            kpool_ref.at[pl.ds(page * bs, bs), :], kbuf.at[slot], sems.at[slot, 0]
+        )
+
+    def v_dma(slot, j):
+        page = bt_ref[b, j]
+        return pltpu.make_async_copy(
+            vpool_ref.at[pl.ds(page * bs, bs), :], vbuf.at[slot], sems.at[slot, 1]
+        )
+
+    acc[...] = jnp.zeros_like(acc)
+    m_i[...] = jnp.full_like(m_i, NEG_INF)
+    l_i[...] = jnp.zeros_like(l_i)
+
+    @pl.when(first_page < n_pages)
+    def _():
+        k_dma(first_page % 2, first_page).start()
+        v_dma(first_page % 2, first_page).start()
+
+    q = q_ref[0].astype(jnp.float32)  # [Hkv*Gp, Hkv*D] block-diagonal
+
+    def body(j, _):
+        @pl.when((j >= first_page) & (j < n_pages))
+        def _():
+            slot = j % 2
+
+            @pl.when(j + 1 < n_pages)
+            def _():
+                k_dma((j + 1) % 2, j + 1).start()
+                v_dma((j + 1) % 2, j + 1).start()
+
+            k_dma(slot, j).wait()
+            v_dma(slot, j).wait()
+            k = kbuf[slot].astype(jnp.float32)  # [bs, Hkv*D]
+            v = vbuf[slot].astype(jnp.float32)
+
+            # All heads at once: zero blocks in q suppress cross-head terms.
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale  # [Hkv*Gp, bs]
+            pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+            mask = pos < ctx
+            if window > 0:
+                mask = mask & (pos > ctx - 1 - window)
+            s = jnp.where(mask, s, NEG_INF)
+
+            m_prev = m_i[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_i[...] = jnp.broadcast_to(
+                alpha * l_i[:, :1] + jnp.sum(p, axis=1, keepdims=True), l_i.shape
+            )
+            acc[...] = acc[...] * alpha + jax.lax.dot_general(
+                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
+
+        return None
+
+    jax.lax.fori_loop(0, nb, body, None)
+    denom = jnp.maximum(l_i[:, :1], 1e-30)
+    o_ref[0] = (acc[...] / denom).astype(o_ref.dtype)
+
+
+def paged_attention_decode(
+    q: jnp.ndarray,           # [B, H, D]
+    k_pool_l: jnp.ndarray,    # [slots, Hkv*D]
+    v_pool_l: jnp.ndarray,
+    block_tables: jnp.ndarray,  # [B, nb] int32
+    context_lens: jnp.ndarray,  # [B] int32
+    num_kv_heads: int,
+    block_size: int,
+    scale: float,
+    sliding_window: int = 0,
+) -> jnp.ndarray:
+    """Returns [B, H, D] in q.dtype. bf16/f32 pools (INT8 pools use the XLA
+    fallback until the fused-dequant variant lands)."""
+    B, H, D = q.shape
+    Hkv = num_kv_heads
+    G = H // Hkv
+    nb = block_tables.shape[1]
+    Gp = max(8, ((G + 7) // 8) * 8)  # sublane-align the group rows
+
+    # Build block-diagonal queries [B, Hkv*Gp, Hkv*D].
+    qg = q.reshape(B, Hkv, G, D)
+    if Gp != G:
+        qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
+    eye = jnp.eye(Hkv, dtype=q.dtype)
+    qfull = jnp.einsum("bhgd,hk->bhgkd", qg, eye).reshape(B, Hkv * Gp, Hkv * D)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, Hkv * Gp, Hkv * D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, Hkv * Gp, Hkv * D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_size, Hkv * D), k_pool_l.dtype),
+            pltpu.VMEM((2, block_size, Hkv * D), v_pool_l.dtype),
+            pltpu.VMEM((Hkv * Gp, Hkv * D), jnp.float32),
+            pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
+            pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, bs=block_size, nb=nb, scale=scale, window=sliding_window),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv * Gp, Hkv * D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_INTERPRET,
+    )(block_tables, context_lens, qfull, k_pool_l, v_pool_l)
+    # Extract the head-diagonal blocks: row block h, lane block h.
+    out5 = out.reshape(B, Hkv, Gp, Hkv, D)
+    eye_f = jnp.eye(Hkv, dtype=jnp.float32)
+    o = jnp.einsum("bhgkd,hk->bhgd", out5, eye_f)
+    return o[:, :, :G, :].reshape(B, H, D).astype(q.dtype)
