@@ -234,6 +234,51 @@ class TPUModelRunner:
             self._decode_cache[key] = jax.jit(fn, donate_argnums=(6, 7, 8, 9))
         return self._decode_cache[key]
 
+    def _get_prefill_batch(self, N: int, T: int, nb: int):
+        key = ("batch", N, T, nb)
+        if key not in self._prefill_cache:
+            cfg = self.mcfg
+            bs = self.ecfg.kv_block_size
+
+            def fn(params, tokens, positions, valid_lens, context_lens, block_tables, slot_mapping, pool):
+                return M.prefill_batch(
+                    params, cfg, tokens, positions, valid_lens, context_lens,
+                    block_tables, slot_mapping, pool, bs,
+                )
+
+            self._prefill_cache[key] = jax.jit(fn, donate_argnums=(7,))
+        return self._prefill_cache[key]
+
+    def _prefill_group(self, seqs: list[Sequence], Tb: int, nb: int) -> list[jnp.ndarray]:
+        """One batched-prefill dispatch for same-bucket sequences."""
+        n = len(seqs)
+        Nb = bucket_length(n, 1, max(n, 1))
+        tokens = np.zeros((Nb, Tb), np.int32)
+        positions = np.zeros((Nb, Tb), np.int32)
+        valid_lens = np.ones((Nb,), np.int32)
+        context_lens = np.ones((Nb,), np.int32)
+        block_tables = np.zeros((Nb, nb), np.int32)
+        slot_mapping = np.full((Nb, Tb), self.num_slots_flat, np.int32)
+        for i, seq in enumerate(seqs):
+            start = seq.num_cached_tokens
+            chunk = seq.token_ids[start:]
+            tokens[i, : len(chunk)] = chunk
+            positions[i] = np.arange(start, start + Tb)
+            valid_lens[i] = len(chunk)
+            context_lens[i] = len(seq)
+            block_tables[i, : len(seq.block_table)] = seq.block_table
+            slot_mapping[i] = kvc.make_slot_mapping(
+                block_tables[i], start, len(chunk), self.block_size, Tb, self.num_slots_flat
+            )
+        fn = self._get_prefill_batch(Nb, Tb, nb)
+        logits, self.pool = fn(
+            self.params,
+            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(valid_lens),
+            jnp.asarray(context_lens), jnp.asarray(block_tables),
+            jnp.asarray(slot_mapping.reshape(-1)), self.pool,
+        )
+        return [logits[i] for i in range(n)]
+
     # ---- prefill ---------------------------------------------------------
 
     def _prefill_one(self, seq: Sequence) -> jnp.ndarray:
@@ -298,11 +343,31 @@ class TPUModelRunner:
             return self._run_prefill(seqs)
         return self._run_decode(seqs)
 
+    PREFILL_GROUP_TOKEN_BUDGET = 4096  # padded tokens per batched dispatch
+
     def _run_prefill(self, seqs: list[Sequence]) -> list[list[int]]:
-        logits_rows = []
         for seq in seqs:
             self._setup_slot(seq)
-            logits_rows.append(self._prefill_one(seq))
+        logits_by_seq: dict[int, jnp.ndarray] = {}
+        if self.mcfg.is_hybrid:
+            for seq in seqs:
+                logits_by_seq[seq.seq_id] = self._prefill_one(seq)
+        else:
+            # Group same-bucket sequences into batched dispatches.
+            groups: dict[tuple[int, int], list[Sequence]] = {}
+            for seq in seqs:
+                T_real = len(seq) - seq.num_cached_tokens
+                Tb = bucket_length(T_real, self.ecfg.min_prefill_bucket, self.ecfg.max_model_len)
+                nb = bucket_length(len(seq.block_table), 1, self.max_blocks_per_seq + 1)
+                groups.setdefault((Tb, nb), []).append(seq)
+            for (Tb, nb), group in groups.items():
+                per_call = max(1, self.PREFILL_GROUP_TOKEN_BUDGET // Tb)
+                for i in range(0, len(group), per_call):
+                    sub = group[i : i + per_call]
+                    rows = self._prefill_group(sub, Tb, nb)
+                    for seq, row in zip(sub, rows):
+                        logits_by_seq[seq.seq_id] = row
+        logits_rows = [logits_by_seq[s.seq_id] for s in seqs]
         n = len(seqs)
         nb_batch = bucket_length(n, 1, max(self.S, n))
         logits = jnp.stack(logits_rows)

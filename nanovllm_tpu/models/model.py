@@ -346,6 +346,82 @@ def prefill_chunk(
 
 
 # ---------------------------------------------------------------------------
+# Batched prefill (group of sequences, one dispatch)
+# ---------------------------------------------------------------------------
+
+
+def prefill_batch(
+    params: dict,
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,        # [N, T] int32, padded chunks
+    positions: jnp.ndarray,     # [N, T] int32 absolute positions
+    valid_lens: jnp.ndarray,    # [N] int32 real chunk lengths
+    context_lens: jnp.ndarray,  # [N] int32 total context per sequence
+    block_tables: jnp.ndarray,  # [N, nb] int32
+    slot_mapping: jnp.ndarray,  # [N*T] int32 flat pool slots (OOB => pad)
+    pool: dict,
+    block_size: int = 16,
+):
+    """Prefill a group of (non-hybrid) sequences in ONE dispatch; returns
+    (last-token logits [N, V], pool). Requires layer-stacked params (the
+    scan path) — the per-sequence variant remains for hybrid models and
+    the eval harness."""
+    from nanovllm_tpu.ops.attention import attention_chunk_batched
+
+    N, T = tokens.shape
+    x = _embed(cfg, params, tokens.reshape(-1), positions.reshape(-1))  # [N*T, E]
+    S = block_tables.shape[1] * block_size
+    k_positions = jnp.arange(S, dtype=jnp.int32)
+    cos_sin = None
+    if cfg.position_type == PositionType.ROPE:
+        cos_sin = rope_cos_sin(positions.reshape(-1), params["rope_inv_freq"])
+
+    def attn_layer(blk, x, pool_l):
+        h = apply_norm(blk["ln1"], x, cfg.norm_eps)
+        q, k, v = _qkv(cfg, blk["attn"], h)
+        if cos_sin is not None and _use_rope(cfg, 0):
+            q = apply_rope(q, *cos_sin)
+            k = apply_rope(k, *cos_sin)
+        pool_l = kvc.kv_write_layer(pool_l, k, v, slot_mapping)
+        k_ctx, v_ctx = kvc.kv_gather_layer(
+            pool_l, block_tables, block_size, cfg.num_kv_heads, dtype=x.dtype
+        )
+        attn = attention_chunk_batched(
+            q.reshape(N, T, cfg.num_heads, cfg.head_dim),
+            k_ctx, v_ctx, positions, k_positions, context_lens,
+            cfg.attn_scale, cfg.sliding_window,
+        ).reshape(N * T, -1)
+        attn_out = linear(blk["attn"]["o"], attn)
+        if cfg.block_style == BlockStyle.PARALLEL:
+            h2 = h if cfg.parallel_single_ln else apply_norm(blk["ln2"], x, cfg.norm_eps)
+            x = _residual_add(cfg, x, attn_out + _ffn_forward(cfg, blk, h2))
+        else:
+            x = _residual_add(cfg, x, attn_out)
+            h2 = apply_norm(blk["ln2"], x, cfg.norm_eps)
+            x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h2))
+        return x, pool_l
+
+    if not isinstance(params["blocks"], list):
+        def body(x, per_layer):
+            blk, pool_l = per_layer
+            return attn_layer(blk, x, pool_l)
+
+        x, pool = jax.lax.scan(body, x, (params["blocks"], pool))
+    else:
+        for i, blk in enumerate(params["blocks"]):
+            pool_l = kvc.pool_layer(pool, i)
+            x, pool_l = attn_layer(blk, x, pool_l)
+            pool = kvc.set_pool_layer(pool, i, pool_l)
+
+    x = x.reshape(N, T, -1)
+    last = jnp.take_along_axis(
+        x, jnp.maximum(valid_lens - 1, 0)[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0]
+    logits = _lm_logits(cfg, params, last)
+    return logits, pool
+
+
+# ---------------------------------------------------------------------------
 # Decode (fixed-size batch of single-token steps)
 # ---------------------------------------------------------------------------
 

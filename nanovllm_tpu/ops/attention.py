@@ -59,6 +59,33 @@ def attention_chunk(
     return out.reshape(T, H, -1).astype(q.dtype)
 
 
+def attention_chunk_batched(
+    q: jnp.ndarray,  # [N, T, H, D]
+    k: jnp.ndarray,  # [N, S, Hkv, D]
+    v: jnp.ndarray,  # [N, S, Hkv, D]
+    q_positions: jnp.ndarray,  # [N, T] int32
+    k_positions: jnp.ndarray,  # [S] int32
+    context_lens: jnp.ndarray,  # [N] int32
+    scale: float,
+    sliding_window: int = 0,
+) -> jnp.ndarray:
+    """Batched prefill attention: N independent sequences, each causal over
+    its own gathered context window. Returns [N, T, H, D]."""
+    N, T, H, D = q.shape
+    Hkv = k.shape[-2]
+    qg = q.reshape(N, T, Hkv, H // Hkv, D).astype(jnp.float32)
+    scores = jnp.einsum("nthgd,nshd->nhgts", qg, k.astype(jnp.float32)) * scale
+    mask = k_positions[None, None, :] <= q_positions[:, :, None]  # [N, T, S]
+    mask &= (k_positions[None, None, :] < context_lens[:, None, None])
+    if sliding_window > 0:
+        mask &= k_positions[None, None, :] > q_positions[:, :, None] - sliding_window
+    scores = jnp.where(mask[:, None, None, :, :], scores, NEG_INF)
+    probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    out = jnp.einsum("nhgts,nshd->nthgd", probs, v.astype(jnp.float32))
+    return out.reshape(N, T, H, D).astype(q.dtype)
+
+
 def attention_decode(
     q: jnp.ndarray,  # [B, H, D]
     k_ctx: jnp.ndarray,  # [B, S, Hkv, D] gathered from the pool
