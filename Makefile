@@ -1,0 +1,36 @@
+# Capability parity with the reference Makefile (/root/reference/Makefile):
+# build is a no-op for Python; test/fmt/vet/demo/bench targets provided.
+
+PY ?= python
+
+.PHONY: all test test-fast bench demo ask fmt vet clean
+
+all: test
+
+test:
+	$(PY) -m pytest tests/ -q
+
+test-fast:
+	$(PY) -m pytest tests/ -q -x -m "not slow"
+
+bench:
+	$(PY) bench.py
+
+demo:
+	$(PY) -m cli.simple_demo
+
+# Usage: make ask MODEL_DIR=/path/to/ckpt Q="What is the capital of France?"
+ask:
+	$(PY) -m cli.ask --model-dir $(MODEL_DIR) "$(Q)"
+
+demo-capitals:
+	bash demo_capitals.sh
+
+fmt:
+	-$(PY) -m black nanovllm_tpu cli tests 2>/dev/null || true
+
+vet:
+	$(PY) -m compileall -q nanovllm_tpu cli tests
+
+clean:
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

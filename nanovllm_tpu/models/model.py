@@ -50,8 +50,14 @@ from nanovllm_tpu.ops.rope import apply_rope, compute_inv_freq, rope_cos_sin
 from nanovllm_tpu.ops import moe as moe_ops
 from nanovllm_tpu.ops import mamba2 as mamba_ops
 
-# Tri-state: None = auto (TPU + non-quantized pool), True/False = forced.
+# Tri-state: None = auto (TPU + non-quantized pool + long context window),
+# True/False = forced.
 _USE_PAGED_KERNEL: bool | None = None
+# Below this context-window bucket, the batched XLA gather beats the
+# per-lane page-DMA kernel (too few pages to pipeline; measured 3.4k vs
+# 2.1k tok/s at a 256-token bucket on Llama-1B). The kernel's exact-traffic
+# advantage takes over as the window grows.
+PAGED_KERNEL_MIN_CTX = 1024
 
 
 def set_use_paged_kernel(flag: bool | None) -> None:
@@ -59,10 +65,14 @@ def set_use_paged_kernel(flag: bool | None) -> None:
     _USE_PAGED_KERNEL = flag
 
 
-def _paged_kernel_ok(pool_l: dict) -> bool:
+def _paged_kernel_ok(pool_l: dict, ctx_bucket: int) -> bool:
     if _USE_PAGED_KERNEL is not None:
         return _USE_PAGED_KERNEL
-    return jax.default_backend() == "tpu" and pool_l["k"].dtype != jnp.int8
+    return (
+        jax.default_backend() == "tpu"
+        and pool_l["k"].dtype != jnp.int8
+        and ctx_bucket >= PAGED_KERNEL_MIN_CTX
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -452,7 +462,7 @@ def decode_step(
             q = apply_rope(q, *cos_sin)
             k = apply_rope(k, *cos_sin)
         pool_l = kvc.kv_write_layer(pool_l, k, v, slot_mapping)
-        if _paged_kernel_ok(pool_l):
+        if _paged_kernel_ok(pool_l, block_tables.shape[1] * block_size):
             from nanovllm_tpu.ops.pallas.paged_attention import paged_attention_decode
 
             attn = paged_attention_decode(
