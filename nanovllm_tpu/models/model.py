@@ -68,11 +68,7 @@ def set_use_paged_kernel(flag: bool | None) -> None:
 def _paged_kernel_ok(pool_l: dict, ctx_bucket: int) -> bool:
     if _USE_PAGED_KERNEL is not None:
         return _USE_PAGED_KERNEL
-    return (
-        jax.default_backend() == "tpu"
-        and pool_l["k"].dtype != jnp.int8
-        and ctx_bucket >= PAGED_KERNEL_MIN_CTX
-    )
+    return jax.default_backend() == "tpu" and ctx_bucket >= PAGED_KERNEL_MIN_CTX
 
 
 # ---------------------------------------------------------------------------
@@ -468,6 +464,7 @@ def decode_step(
             attn = paged_attention_decode(
                 q, pool_l["k"], pool_l["v"], block_tables, context_lens,
                 cfg.num_kv_heads, block_size, cfg.attn_scale, cfg.sliding_window,
+                k_scale_l=pool_l.get("k_scale"), v_scale_l=pool_l.get("v_scale"),
             )
         else:
             k_ctx, v_ctx = kvc.kv_gather_layer(

@@ -47,23 +47,23 @@ def _kernel(
     # scalar prefetch
     bt_ref,      # [B, nb] int32 block tables
     ctx_ref,     # [B] int32 context lengths
-    # inputs
+    # inputs (quantized variant appends kscale/vscale pools [Hkv, slots] f32)
     q_ref,       # [1, Hkv*Gp, Hkv*D] block-diagonal queries for this lane
-    kpool_ref,   # [slots, Hkv*D] in ANY/HBM
+    kpool_ref,   # [slots, Hkv*D] in ANY/HBM (bf16/f32 or int8)
     vpool_ref,
-    # outputs
-    o_ref,       # [1, Hkv*Gp, Hkv*D]
-    # scratch
-    kbuf, vbuf,  # [2, bs, Hkv*D] VMEM double buffers
-    acc,         # [Hkv*Gp, Hkv*D] f32
-    m_i, l_i,    # [Hkv*Gp, 128] f32
-    sems,        # [2, 2] DMA semaphores
-    *,
+    *refs,
     bs: int,
     nb: int,
+    Gp: int,
     scale: float,
     window: int,
+    quantized: bool,
 ):
+    if quantized:
+        (kspool_ref, vspool_ref, o_ref,
+         kbuf, vbuf, ksbuf, vsbuf, acc, m_i, l_i, sems) = refs
+    else:
+        (o_ref, kbuf, vbuf, acc, m_i, l_i, sems) = refs
     b = pl.program_id(0)
     ctx = ctx_ref[b]
     n_pages = pl.cdiv(ctx, bs)
@@ -71,17 +71,28 @@ def _kernel(
     if window > 0:
         first_page = jnp.maximum(ctx - window, 0) // bs
 
-    def k_dma(slot, j):
+    def dmas(slot, j):
         page = bt_ref[b, j]
-        return pltpu.make_async_copy(
-            kpool_ref.at[pl.ds(page * bs, bs), :], kbuf.at[slot], sems.at[slot, 0]
-        )
-
-    def v_dma(slot, j):
-        page = bt_ref[b, j]
-        return pltpu.make_async_copy(
-            vpool_ref.at[pl.ds(page * bs, bs), :], vbuf.at[slot], sems.at[slot, 1]
-        )
+        out = [
+            pltpu.make_async_copy(
+                kpool_ref.at[pl.ds(page * bs, bs), :], kbuf.at[slot], sems.at[slot, 0]
+            ),
+            pltpu.make_async_copy(
+                vpool_ref.at[pl.ds(page * bs, bs), :], vbuf.at[slot], sems.at[slot, 1]
+            ),
+        ]
+        if quantized:
+            out.append(
+                pltpu.make_async_copy(
+                    kspool_ref.at[:, pl.ds(page * bs, bs)], ksbuf.at[slot], sems.at[slot, 2]
+                )
+            )
+            out.append(
+                pltpu.make_async_copy(
+                    vspool_ref.at[:, pl.ds(page * bs, bs)], vsbuf.at[slot], sems.at[slot, 3]
+                )
+            )
+        return out
 
     acc[...] = jnp.zeros_like(acc)
     m_i[...] = jnp.full_like(m_i, NEG_INF)
@@ -89,8 +100,8 @@ def _kernel(
 
     @pl.when(first_page < n_pages)
     def _():
-        k_dma(first_page % 2, first_page).start()
-        v_dma(first_page % 2, first_page).start()
+        for d in dmas(first_page % 2, first_page):
+            d.start()
 
     q = q_ref[0].astype(jnp.float32)  # [Hkv*Gp, Hkv*D] block-diagonal
 
@@ -101,11 +112,11 @@ def _kernel(
 
             @pl.when(j + 1 < n_pages)
             def _():
-                k_dma((j + 1) % 2, j + 1).start()
-                v_dma((j + 1) % 2, j + 1).start()
+                for d in dmas((j + 1) % 2, j + 1):
+                    d.start()
 
-            k_dma(slot, j).wait()
-            v_dma(slot, j).wait()
+            for d in dmas(slot, j):
+                d.wait()
             k = kbuf[slot].astype(jnp.float32)  # [bs, Hkv*D]
             v = vbuf[slot].astype(jnp.float32)
 
@@ -113,6 +124,10 @@ def _kernel(
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             ) * scale  # [Hkv*Gp, bs]
+            if quantized:
+                # Fold per-(token, head) K scales into the score rows: row
+                # block h scales by kscale[h, t] (repeat rows Gp times).
+                s = s * pltpu.repeat(ksbuf[slot], Gp, axis=0)
             pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
             mask = pos < ctx
             if window > 0:
@@ -126,8 +141,14 @@ def _kernel(
             l_i[...] = jnp.broadcast_to(
                 alpha * l_i[:, :1] + jnp.sum(p, axis=1, keepdims=True), l_i.shape
             )
+            if quantized:
+                # Fold V scales into the probabilities used for the PV dot
+                # (the normalizer keeps the unscaled p — exact).
+                p_v = p * pltpu.repeat(vsbuf[slot], Gp, axis=0)
+            else:
+                p_v = p
             acc[...] = acc[...] * alpha + jax.lax.dot_general(
-                p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                p_v, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
             m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
 
@@ -140,7 +161,7 @@ def _kernel(
 
 def paged_attention_decode(
     q: jnp.ndarray,           # [B, H, D]
-    k_pool_l: jnp.ndarray,    # [slots, Hkv*D]
+    k_pool_l: jnp.ndarray,    # [slots, Hkv*D] (bf16/f32 or int8)
     v_pool_l: jnp.ndarray,
     block_tables: jnp.ndarray,  # [B, nb] int32
     context_lens: jnp.ndarray,  # [B] int32
@@ -148,53 +169,75 @@ def paged_attention_decode(
     block_size: int,
     scale: float,
     sliding_window: int = 0,
+    k_scale_l: jnp.ndarray | None = None,  # [Hkv, slots] f32 (INT8 pools)
+    v_scale_l: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Returns [B, H, D] in q.dtype. bf16/f32 pools (INT8 pools use the XLA
-    fallback until the fused-dequant variant lands)."""
+    """Returns [B, H, D] in q.dtype. Pass k/v scale pools for INT8 KV — the
+    kernel folds K scales into scores and V scales into the PV probabilities
+    (exact, no dequantized KV ever materializes)."""
     B, H, D = q.shape
     Hkv = num_kv_heads
     G = H // Hkv
     nb = block_tables.shape[1]
     Gp = max(8, ((G + 7) // 8) * 8)  # sublane-align the group rows
+    quantized = k_scale_l is not None
 
     # Build block-diagonal queries [B, Hkv*Gp, Hkv*D].
     qg = q.reshape(B, Hkv, G, D)
     if Gp != G:
         qg = jnp.pad(qg, ((0, 0), (0, 0), (0, Gp - G), (0, 0)))
     eye = jnp.eye(Hkv, dtype=q.dtype)
-    qfull = jnp.einsum("bhgd,hk->bhgkd", qg, eye).reshape(B, Hkv * Gp, Hkv * D)
+    # g-major row order (row r = g*Hkv + h): the quantized variant folds
+    # per-head scale rows via pltpu.repeat, which TILES [h0..h{Hkv-1}] Gp
+    # times — exactly the g-major pattern.
+    qfull = jnp.einsum("bhgd,hk->bghkd", qg, eye).reshape(B, Gp * Hkv, Hkv * D)
 
+    in_specs = [
+        pl.BlockSpec((1, Hkv * Gp, Hkv * D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    operands = [block_tables, context_lens, qfull, k_pool_l, v_pool_l]
+    scratch = [
+        pltpu.VMEM((2, block_size, Hkv * D), k_pool_l.dtype),
+        pltpu.VMEM((2, block_size, Hkv * D), v_pool_l.dtype),
+    ]
+    if quantized:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY), pl.BlockSpec(memory_space=pl.ANY)]
+        operands += [k_scale_l, v_scale_l]
+        scratch += [
+            pltpu.VMEM((2, Hkv, block_size), jnp.float32),
+            pltpu.VMEM((2, Hkv, block_size), jnp.float32),
+        ]
+    scratch += [
+        pltpu.VMEM((Hkv * Gp, Hkv * D), jnp.float32),
+        pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
+        pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 4 if quantized else 2)),
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, Hkv * Gp, Hkv * D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, Hkv * Gp, Hkv * D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, block_size, Hkv * D), k_pool_l.dtype),
-            pltpu.VMEM((2, block_size, Hkv * D), v_pool_l.dtype),
-            pltpu.VMEM((Hkv * Gp, Hkv * D), jnp.float32),
-            pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
-            pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, bs=block_size, nb=nb, scale=scale, window=sliding_window),
+        functools.partial(
+            _kernel, bs=block_size, nb=nb, Gp=Gp, scale=scale,
+            window=sliding_window, quantized=quantized,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv * Gp, Hkv * D), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_INTERPRET,
-    )(block_tables, context_lens, qfull, k_pool_l, v_pool_l)
-    # Extract the head-diagonal blocks: row block h, lane block h.
-    out5 = out.reshape(B, Hkv, Gp, Hkv, D)
+    )(*operands)
+    # Extract the head-diagonal blocks: row (g, h), lane block h.
+    out5 = out.reshape(B, Gp, Hkv, Hkv, D)
     eye_f = jnp.eye(Hkv, dtype=jnp.float32)
-    o = jnp.einsum("bhgkd,hk->bhgd", out5, eye_f)
+    o = jnp.einsum("bghkd,hk->bhgd", out5, eye_f)
     return o[:, :, :G, :].reshape(B, H, D).astype(q.dtype)

@@ -44,22 +44,38 @@ def set_interpret(flag: bool) -> None:
     _INTERPRET = flag
 
 
-def _bn_for(n: int, k: int) -> int:
-    # Bigger n-tiles amortize per-step overhead; bound the weight block to
-    # ~2MB of VMEM (int8 bytes = k * bn).
-    for bn in (512, 256, 128):
-        if n % bn == 0 and k * bn <= (4 << 20):
-            return bn
-    return 128
+VMEM_BUDGET = 11 << 20  # leave headroom under the 16MB scoped-vmem limit
 
 
-def _bm_for(m: int) -> int:
-    if m >= 256:
-        return 256
-    b = 16
-    while b < m:
-        b *= 2
-    return b
+def _vmem_cost(bm: int, bn: int, keff: int, is4: bool, split: bool) -> int:
+    """Rough scoped-VMEM bytes for one grid step: double-buffered x and
+    weight blocks, the in-kernel dequantized weight intermediates (bf16 cast
+    for INT8; f32 unpack + scaled copy + bf16 cast for INT4), the output
+    block and the k-split accumulator."""
+    x = 2 * bm * keff * 2
+    wq = 2 * (keff // 2 if is4 else keff) * bn
+    dq = (4 + 4 + 2) * keff * bn if is4 else 2 * keff * bn
+    out = 2 * bm * bn * 4 + (bm * bn * 4 if split else 0)
+    return x + wq + dq + out
+
+
+def _plan(m: int, K: int, N: int, is4: bool) -> tuple[bool, int, int]:
+    """Choose (resident, bm, bn) maximizing tile sizes within VMEM_BUDGET."""
+    bm_cap = 16
+    while bm_cap < m and bm_cap < 256:
+        bm_cap *= 2
+    options = ([True] if K <= K_RESIDENT else []) + [False]
+    for resident in options:
+        keff = K if resident else min(BK_SPLIT, K)
+        for bn in (512, 256, 128):
+            if N % bn:
+                continue
+            bm = bm_cap
+            while bm >= 16:
+                if _vmem_cost(bm, bn, keff, is4, not resident) <= VMEM_BUDGET:
+                    return resident, bm, bn
+                bm //= 2
+    return False, 16, 128
 
 
 def _pad_rows(x: jnp.ndarray, bm: int) -> jnp.ndarray:
@@ -163,17 +179,16 @@ def quant_matmul(x: jnp.ndarray, p: QuantLinear) -> jnp.ndarray:
     is4 = p.mode == "int4"
     K = p.qw.shape[0] * (2 if is4 else 1)
     N = p.qw.shape[1]
-    bm = _bm_for(M)
+    kbytes = K if not is4 else K // 2
+    resident, bm, bn = _plan(M, K, N, is4)
     xp = _pad_rows(x, bm)
     if K != x.shape[1]:
         xp = jnp.pad(xp, ((0, 0), (0, K - x.shape[1])))
     Mp = xp.shape[0]
-    kbytes = K if not is4 else K // 2
-    bn = _bn_for(N, kbytes)
     scale2d = p.scale.reshape(1, -1) if not is4 else p.scale
     g = scale2d.shape[0]
 
-    if K <= K_RESIDENT:
+    if resident:
         grid = (Mp // bm, N // bn)
         kernel = _int8_kernel_kres if not is4 else _int4_kernel_kres
         y = pl.pallas_call(
