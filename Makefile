@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: all test test-fast bench demo ask fmt vet clean
+.PHONY: all test test-fast bench demo ask fmt vet clean native demo-capitals
 
 all: test
 
@@ -34,3 +34,6 @@ vet:
 
 clean:
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true
+
+native:
+	g++ -O2 -std=c++17 -shared -fPIC native/host_ops.cc -o native/libnvhost.so

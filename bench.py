@@ -12,6 +12,7 @@ decode at 32 lanes.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -60,10 +61,23 @@ def main():
     DECODE = 64
 
     t0 = time.time()
-    log("initializing random weights at real shapes...")
     rng = np.random.default_rng(0)
-    params_np = M.init_params(cfg, seed=0, numpy=True)
-    params_np = quantize_params(params_np, "int8")
+    cache = "/tmp/nanovllm_bench_llama1b_int8.pkl"
+    import pickle
+
+    if os.path.exists(cache):
+        log("loading cached quantized weights...")
+        with open(cache, "rb") as f:
+            params_np = pickle.load(f)
+    else:
+        log("initializing random weights at real shapes...")
+        params_np = M.init_params(cfg, seed=0, numpy=True)
+        params_np = quantize_params(params_np, "int8")
+        try:
+            with open(cache, "wb") as f:
+                pickle.dump(params_np, f)
+        except OSError:
+            pass
     params = M.to_device_params(params_np, cfg)
     log(f"weights ready in {time.time()-t0:.1f}s")
 

@@ -24,9 +24,18 @@ from collections import deque
 from typing import Optional
 
 from nanovllm_tpu.engine.sequence import Sequence
+from nanovllm_tpu import native as _native
+
+_USE_NATIVE_HASH = _native.available()
 
 
 def compute_hash(token_ids: list[int], prefix_hash: int = -1) -> int:
+    """Chained 64-bit block hash. Uses the native library when built (all
+    hosts of a multi-host deployment must agree on the implementation —
+    hashes key the shared prefix cache)."""
+    if _USE_NATIVE_HASH:
+        h = _native.hash64(token_ids, prefix_hash & 0xFFFFFFFFFFFFFFFF)
+        return h - (1 << 64) if h >= (1 << 63) else h
     h = hashlib.blake2b(digest_size=8)
     h.update(struct.pack("<q", prefix_hash))
     h.update(struct.pack(f"<{len(token_ids)}i", *token_ids))

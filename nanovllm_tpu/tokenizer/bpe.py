@@ -69,6 +69,24 @@ class BPETokenizer:
             self._special_re = regex.compile("|".join(regex.escape(t) for t in toks))
         else:
             self._special_re = None
+        # Native merge loop (C++ via ctypes) when the library is built:
+        # merges expressed over token ids.
+        self._native_bpe = None
+        try:
+            from nanovllm_tpu import native as _native
+
+            if _native.available():
+                merges_ids = []
+                for (a, b) in merges:
+                    ia, ib, im = vocab.get(a), vocab.get(b), vocab.get(a + b)
+                    if ia is None or ib is None or im is None:
+                        merges_ids = None
+                        break
+                    merges_ids.append((ia, ib, im))
+                if merges_ids is not None:
+                    self._native_bpe = _native.NativeBpe(merges_ids)
+        except Exception:
+            self._native_bpe = None
 
     # -- encoding ----------------------------------------------------------
 
@@ -96,6 +114,11 @@ class BPETokenizer:
         out: list[int] = []
         for m in self.pattern.findall(text):
             mapped = "".join(self.byte_encoder[b] for b in m.encode("utf-8"))
+            if self._native_bpe is not None:
+                ids = [self.vocab.get(ch, -1) for ch in mapped]
+                if -1 not in ids:
+                    out.extend(self._native_bpe.apply(ids))
+                    continue
             for piece in self._bpe(mapped):
                 tid = self.vocab.get(piece)
                 if tid is None:
