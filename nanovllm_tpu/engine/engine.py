@@ -73,7 +73,8 @@ class LLMEngine:
                 num_kv_blocks = default_num_kv_blocks(model_cfg, engine_cfg)
             else:
                 num_kv_blocks = 1024  # reference default, scheduler.go:19-21
-        self.scheduler = Scheduler(engine_cfg, num_kv_blocks)
+        eos_ids = model_cfg.eos_token_ids if model_cfg is not None else ()
+        self.scheduler = Scheduler(engine_cfg, num_kv_blocks, eos_token_ids=eos_ids)
         self._seqs: dict[int, Sequence] = {}
         self.metrics = {
             "prefill_tokens": 0,

@@ -103,14 +103,20 @@ class TPUModelRunner:
         engine_cfg: EngineConfig,
         params: Optional[dict] = None,
         num_kv_blocks: Optional[int] = None,
+        mesh=None,
     ):
         self.mcfg = model_cfg
         self.ecfg = engine_cfg
+        self.mesh = mesh
         self.params = params if params is not None else M.init_params(model_cfg)
         if not model_cfg.is_hybrid:
             # Layer-stacked params => scan-over-layers forward (compiles the
             # layer body once instead of num_layers inlined copies).
             self.params = M.stack_blocks(self.params)
+        if mesh is not None:
+            from nanovllm_tpu.parallel import shard_params
+
+            self.params = shard_params(self.params, model_cfg, mesh)
         self.num_kv_blocks = num_kv_blocks or default_num_kv_blocks(model_cfg, engine_cfg)
         bs = engine_cfg.kv_block_size
         self.block_size = bs
@@ -127,6 +133,10 @@ class TPUModelRunner:
             dtype=jnp.dtype(model_cfg.dtype),
             quantized=engine_cfg.kv_cache_dtype == "int8",
         )
+        if mesh is not None:
+            from nanovllm_tpu.parallel import shard_pool
+
+            self.pool = shard_pool(self.pool, model_cfg, mesh)
         self.mamba_state = (
             mamba_ops.create_mamba_state(model_cfg, S) if model_cfg.is_hybrid else None
         )

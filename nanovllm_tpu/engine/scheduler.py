@@ -21,11 +21,15 @@ from nanovllm_tpu.engine.sequence import Sequence, SequenceStatus
 
 
 class Scheduler:
-    def __init__(self, config: EngineConfig, num_kv_blocks: int):
+    def __init__(self, config: EngineConfig, num_kv_blocks: int, eos_token_ids=()):
         self.config = config
         self.max_num_seqs = min(config.max_num_seqs, config.max_decode_slots)
         self.max_num_batched_tokens = config.max_num_batched_tokens
         self.eos_token_id = config.eos_token_id
+        # Models may define several stop ids (e.g. Llama-3 eot + eos).
+        self.eos_token_ids = set(eos_token_ids)
+        if config.eos_token_id >= 0:
+            self.eos_token_ids.add(config.eos_token_id)
         self.block_manager = BlockManager(
             num_kv_blocks, config.kv_block_size, config.enable_prefix_caching
         )
@@ -120,9 +124,7 @@ class Scheduler:
         finished = []
         for seq, burst in zip(seqs, token_bursts):
             sp = seq.sampling_params
-            stop_ids = set(sp.stop_token_ids)
-            if self.eos_token_id >= 0:
-                stop_ids.add(self.eos_token_id)
+            stop_ids = set(sp.stop_token_ids) | self.eos_token_ids
             for token_id in burst:
                 seq.append_token(token_id)
                 if not sp.ignore_eos and token_id in stop_ids:

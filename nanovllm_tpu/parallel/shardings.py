@@ -19,8 +19,12 @@ from nanovllm_tpu.parallel.mesh import MODEL_AXIS
 
 
 def _put(x, mesh: Mesh, spec: P):
-    # Replicate any dim whose size the mesh axis doesn't divide (e.g. odd
-    # vocab sizes, Falcon's 71 heads) instead of failing.
+    # Auto-pad the spec with leading None axes for higher-rank leaves (layer-
+    # stacked params carry a leading L axis), and replicate any dim whose
+    # size the mesh axis doesn't divide (odd vocab, Falcon's 71 heads).
+    spec = tuple(spec)
+    if len(spec) < x.ndim:
+        spec = (None,) * (x.ndim - len(spec)) + spec
     fixed = []
     for i, ax in enumerate(spec):
         if ax is None:
@@ -84,7 +88,9 @@ def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
     q_row = row if cfg.num_heads % tp == 0 else rep2
     kv_col = shard_kv_spec()
 
-    for blk in params["blocks"]:
+    blocks = params["blocks"]
+    stacked = not isinstance(blocks, list)
+    for blk in (blocks if not stacked else [blocks]):
         b: dict = {}
         for name in ("ln1", "ln2"):
             if name in blk:
@@ -118,6 +124,8 @@ def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
             # keep Mamba layers replicated for now (they are O(N) cheap).
             b["mamba"] = jax.tree_util.tree_map(lambda x: _put(x, mesh, P(*([None] * x.ndim))), blk["mamba"])
         out["blocks"].append(b)
+    if stacked:
+        out["blocks"] = out["blocks"][0]
     return out
 
 

@@ -72,3 +72,34 @@ def test_dryrun_multichip_contract():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_engine_e2e_tp_matches_single_device():
+    """Full LLM engine on a tp=4 mesh produces the same greedy tokens as a
+    single-device run (M5 acceptance)."""
+    from nanovllm_tpu.config import EngineConfig
+    from nanovllm_tpu.engine.llm import LLM
+    from nanovllm_tpu.engine.runner import TPUModelRunner
+    from nanovllm_tpu.sampling_params import SamplingParams
+
+    cfg = cfg_moe()
+    params = M.init_params(cfg, seed=5)
+    ecfg = EngineConfig(
+        max_num_batched_tokens=4096, max_num_seqs=4, max_model_len=128,
+        kv_block_size=BS, max_decode_slots=4, min_prefill_bucket=16,
+        num_kv_blocks=32, eos_token_id=0, decode_burst=4,
+    )
+    prompts = [[3, 4, 5, 6, 7], [9, 10, 11]]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+
+    r1 = TPUModelRunner(cfg, ecfg, params=params)
+    out1 = LLM(model_config=cfg, engine_config=ecfg, runner=r1).generate(prompts, sp)
+
+    mesh = make_mesh(tp_size=4, dp_size=2)
+    with mesh:
+        r2 = TPUModelRunner(cfg, ecfg, params=params, mesh=mesh)
+        out2 = LLM(model_config=cfg, engine_config=ecfg, runner=r2).generate(prompts, sp)
+
+    for a, b in zip(out1, out2):
+        assert a.token_ids == b.token_ids
