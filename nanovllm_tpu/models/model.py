@@ -320,15 +320,25 @@ def prefill_chunk(
         return x, pool_l
 
     if not isinstance(params["blocks"], list):
-        # Homogeneous stack: lax.scan over layer-stacked params + pool layers
-        # (compiles the layer body ONCE — 16-layer models otherwise inline 16
-        # copies and take minutes on the remote compiler).
-        def body(x, per_layer):
-            blk, pool_l = per_layer
+        # Homogeneous stack: lax.scan over layer-stacked params with the FULL
+        # pool in the carry, updated via dynamic-index-in-dim (XLA lowers
+        # this to an in-place DUS on the donated carry; passing pool layers
+        # as scan xs/ys forces a re-stack copy of the whole pool per step).
+        def body(carry, inp):
+            x, pool = carry
+            blk, i = inp
+            pool_l = {k: jax.lax.dynamic_index_in_dim(v, i, 0, keepdims=False) for k, v in pool.items()}
             x, pool_l = attn_layer(blk, x, pool_l, _use_rope(cfg, 0))
-            return x, pool_l
+            pool = {
+                k: jax.lax.dynamic_update_index_in_dim(pool[k], pool_l[k], i, 0)
+                for k in pool
+            }
+            return (x, pool), None
 
-        x, pool = jax.lax.scan(body, x, (params["blocks"], pool))
+        L = cfg.num_layers
+        (x, pool), _ = jax.lax.scan(
+            body, (x, pool), (params["blocks"], jnp.arange(L, dtype=jnp.int32))
+        )
     else:
         for i, blk in enumerate(params["blocks"]):
             if cfg.layer_kind(i) == LayerKind.MAMBA2:
@@ -408,11 +418,20 @@ def prefill_batch(
         return x, pool_l
 
     if not isinstance(params["blocks"], list):
-        def body(x, per_layer):
-            blk, pool_l = per_layer
-            return attn_layer(blk, x, pool_l)
+        def body(carry, inp):
+            x, pool = carry
+            blk, i = inp
+            pool_l = {k: jax.lax.dynamic_index_in_dim(v, i, 0, keepdims=False) for k, v in pool.items()}
+            x, pool_l = attn_layer(blk, x, pool_l)
+            pool = {
+                k: jax.lax.dynamic_update_index_in_dim(pool[k], pool_l[k], i, 0)
+                for k in pool
+            }
+            return (x, pool), None
 
-        x, pool = jax.lax.scan(body, x, (params["blocks"], pool))
+        (x, pool), _ = jax.lax.scan(
+            body, (x, pool), (params["blocks"], jnp.arange(cfg.num_layers, dtype=jnp.int32))
+        )
     else:
         for i, blk in enumerate(params["blocks"]):
             pool_l = kvc.pool_layer(pool, i)
@@ -482,12 +501,20 @@ def decode_step(
         return x, pool_l
 
     if not isinstance(params["blocks"], list):
-        def body(x, per_layer):
-            blk, pool_l = per_layer
+        def body(carry, inp):
+            x, pool = carry
+            blk, i = inp
+            pool_l = {k: jax.lax.dynamic_index_in_dim(v, i, 0, keepdims=False) for k, v in pool.items()}
             x, pool_l = attn_layer(blk, x, pool_l, _use_rope(cfg, 0))
-            return x, pool_l
+            pool = {
+                k: jax.lax.dynamic_update_index_in_dim(pool[k], pool_l[k], i, 0)
+                for k in pool
+            }
+            return (x, pool), None
 
-        x, pool = jax.lax.scan(body, x, (params["blocks"], pool))
+        (x, pool), _ = jax.lax.scan(
+            body, (x, pool), (params["blocks"], jnp.arange(cfg.num_layers, dtype=jnp.int32))
+        )
     else:
         for i, blk in enumerate(params["blocks"]):
             if cfg.layer_kind(i) == LayerKind.MAMBA2:
