@@ -10,6 +10,7 @@ SURVEY.md §2.5-4) is fixed: outputs are keyed by sequence id.
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Optional, Protocol, Sequence as Seq, Union
 
@@ -88,6 +89,10 @@ class LLMEngine:
         self.step_logger = StepLogger(step_log_path)
         self._arrival: dict[int, float] = {}
         self._first_token: dict[int, float] = {}
+        # Scheduler state is guarded so requests can stream in from other
+        # threads while the step loop runs (the reference's only concurrency
+        # guard was a mutex on its KV map, tensor_model_runner.go:13-15).
+        self._lock = threading.Lock()
 
     # ---- API -------------------------------------------------------------
 
@@ -103,14 +108,16 @@ class LLMEngine:
                 f"{self.engine_cfg.max_model_len}"
             )
         seq = Sequence(token_ids, sampling_params, self.engine_cfg.kv_block_size)
-        self.scheduler.add(seq)
-        self._seqs[seq.seq_id] = seq
-        self._arrival[seq.seq_id] = time.perf_counter()
+        with self._lock:
+            self.scheduler.add(seq)
+            self._seqs[seq.seq_id] = seq
+            self._arrival[seq.seq_id] = time.perf_counter()
         self.registry.inc("requests_total")
         return seq.seq_id
 
     def step(self) -> list[RequestOutput]:
-        seqs, is_prefill = self.scheduler.schedule()
+        with self._lock:
+            seqs, is_prefill = self.scheduler.schedule()
         if not seqs:
             return []
         t0 = time.perf_counter()
@@ -129,7 +136,8 @@ class LLMEngine:
                     ttft = now - self._arrival[s.seq_id]
                     self._first_token[s.seq_id] = ttft
                     self.registry.observe("ttft_s", ttft)
-        finished = self.scheduler.postprocess(seqs, token_ids)
+        with self._lock:
+            finished = self.scheduler.postprocess(seqs, token_ids)
         if not is_prefill:
             # Count tokens actually accepted (bursts are trimmed at stop).
             appended = sum(len(s) - lens_before[s.seq_id] for s in seqs)
@@ -161,6 +169,31 @@ class LLMEngine:
             self._first_token.pop(seq.seq_id, None)
             self.registry.inc("requests_finished")
         return outputs
+
+    def abort_request(self, seq_id: int) -> bool:
+        """Cancel a request (waiting or running); frees its blocks/slot.
+        Returns False if the id is unknown/already finished."""
+        with self._lock:
+            seq = self._seqs.pop(seq_id, None)
+            if seq is None:
+                return False
+            sch = self.scheduler
+            if seq in sch.waiting:
+                sch.waiting.remove(seq)
+            if seq in sch.running:
+                sch.running.remove(seq)
+                sch.block_manager.deallocate(seq)
+                if seq.slot is not None:
+                    sch.free_slots.append(seq.slot)
+                    seq.slot = None
+        from nanovllm_tpu.engine.sequence import SequenceStatus
+
+        seq.status = SequenceStatus.FINISHED
+        seq.finish_reason = "aborted"
+        self._arrival.pop(seq_id, None)
+        self._first_token.pop(seq_id, None)
+        self.registry.inc("requests_aborted")
+        return True
 
     def is_finished(self) -> bool:
         return self.scheduler.is_finished()

@@ -364,18 +364,41 @@ def quantize_params(params: dict, mode: str) -> dict:
 
 
 def load_model_dir(
-    model_dir: str, dtype: str = "bfloat16", quantization: str = "none"
+    model_dir: str, dtype: str = "bfloat16", quantization: str = "none",
+    use_quant_cache: bool = True,
 ) -> tuple[ModelConfig, dict]:
     """Load config + weights from an HF-format directory; returns
     (ModelConfig, device params). Reference: LoadModelFromDirectory
-    (generic_loader.go:1016-1039)."""
+    (generic_loader.go:1016-1039). Quantized weights are pre-packed to a
+    sidecar cache (<dir>/.nv_quant_<mode>.pkl) so reloads skip
+    re-quantization (SURVEY.md §5 checkpoint/resume)."""
+    import pickle
+
     from nanovllm_tpu.models.model import to_device_params
 
     hf_cfg = load_hf_config(model_dir)
     cfg = model_config_from_hf(hf_cfg, dtype=dtype)
+
+    cache_path = os.path.join(model_dir, f".nv_quant_{quantization}.pkl")
+    if quantization != "none" and use_quant_cache and os.path.exists(cache_path):
+        with open(cache_path, "rb") as f:
+            return cfg, to_device_params(pickle.load(f), cfg)
+
     sd = read_safetensors_dir(model_dir)
     converter = CONVERTERS[cfg.model_type]
     params = converter(sd, cfg)
     params["rope_inv_freq"] = compute_inv_freq(cfg.rotary_dim, cfg.rope_theta, cfg.rope_scaling)
+    # model_info.json overrides (written by cli/download_model;
+    # reference generic_loader reads it too).
+    info_path = os.path.join(model_dir, "model_info.json")
+    if os.path.exists(info_path):
+        with open(info_path) as f:
+            json.load(f)  # validated; currently informational only
     params = quantize_params(params, quantization)
+    if quantization != "none" and use_quant_cache:
+        try:
+            with open(cache_path, "wb") as f:
+                pickle.dump(params, f)
+        except OSError:
+            pass
     return cfg, to_device_params(params, cfg)

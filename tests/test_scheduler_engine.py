@@ -124,3 +124,43 @@ def test_decode_burst_equivalent_to_single_step():
         return [o.token_ids for o in outs]
 
     assert run(1) == run(4)
+
+
+def test_abort_request():
+    eng = make_engine()
+    sid1 = eng.add_request([5] * 8, SamplingParams(max_tokens=50, ignore_eos=True))
+    sid2 = eng.add_request([6] * 8, SamplingParams(max_tokens=50, ignore_eos=True))
+    eng.step()  # prefill both
+    free_before = eng.scheduler.block_manager.num_free_blocks
+    assert eng.abort_request(sid1)
+    assert eng.scheduler.block_manager.num_free_blocks > free_before
+    assert not eng.abort_request(sid1)  # already gone
+    # remaining request still completes
+    while not eng.is_finished():
+        eng.step()
+    assert sid2 not in eng._seqs
+
+
+def test_concurrent_add_requests_while_stepping():
+    import threading
+    import time as _t
+
+    eng = make_engine()
+    done = []
+
+    def producer():
+        for i in range(12):
+            eng.add_request([i + 1] * 6, SamplingParams(max_tokens=5, ignore_eos=True))
+            _t.sleep(0.001)
+        done.append(True)
+
+    t = threading.Thread(target=producer)
+    t.start()
+    finished = 0
+    deadline = _t.monotonic() + 30
+    while _t.monotonic() < deadline:
+        finished += len(eng.step())
+        if done and eng.is_finished():
+            break
+    t.join()
+    assert finished == 12
