@@ -91,6 +91,7 @@ def main():
         min_prefill_bucket=128,
         eos_token_id=cfg.eos_token_ids[0],
         quantization="int8",
+        decode_burst=16,
         # Identical prompts in warmup+timed rounds: disable prefix caching so
         # the timed prefill measures real compute.
         enable_prefix_caching=False,

@@ -109,9 +109,10 @@ class TPUModelRunner:
         self.ecfg = engine_cfg
         self.mesh = mesh
         self.params = params if params is not None else M.init_params(model_cfg)
-        if not model_cfg.is_hybrid:
+        if engine_cfg.scan_layers and not model_cfg.is_hybrid:
             # Layer-stacked params => scan-over-layers forward (compiles the
-            # layer body once instead of num_layers inlined copies).
+            # layer body once instead of num_layers inlined copies; trades
+            # ~30% decode throughput — see EngineConfig.scan_layers).
             self.params = M.stack_blocks(self.params)
         if mesh is not None:
             from nanovllm_tpu.parallel import shard_params
