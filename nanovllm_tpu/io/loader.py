@@ -355,7 +355,19 @@ def quantize_params(params: dict, mode: str) -> dict:
             return [walk(v, path) for v in node]
         return node
 
-    return walk(params)
+    out = walk(params)
+    # Tied-embedding models: materialize a quantized lm_head from embed^T so
+    # decode streams int8/int4 instead of the bf16 vocab matrix each step
+    # (the embedding gather itself stays full precision).
+    if (
+        "lm_head" not in out
+        and isinstance(out.get("embed"), np.ndarray)
+        and out["embed"].size >= _QUANT_MIN_SIZE
+    ):
+        out["lm_head"] = quant_ops.QuantLinear.from_dense(
+            np.ascontiguousarray(out["embed"].T), None, mode
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -244,14 +244,8 @@ def _embed(cfg: ModelConfig, params: dict, tokens: jnp.ndarray, positions: jnp.n
 
 def _lm_logits(cfg: ModelConfig, params: dict, x: jnp.ndarray) -> jnp.ndarray:
     x = apply_norm(params["final_norm"], x, cfg.norm_eps)
-    if cfg.tie_word_embeddings or "lm_head" not in params:
-        # Contract on the embedding's hidden dim directly — embed.T would
-        # materialize a transposed copy of the full vocab matrix per step.
-        logits = jax.lax.dot_general(
-            x, params["embed"].astype(x.dtype),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    if "lm_head" not in params:
+        logits = jnp.dot(x, params["embed"].T.astype(x.dtype), preferred_element_type=jnp.float32)
     else:
         logits = linear(params["lm_head"], x).astype(jnp.float32)
     if cfg.logits_scaling != 1.0:
