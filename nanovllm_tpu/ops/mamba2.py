@@ -134,17 +134,46 @@ def mamba2_prefill(
     group_of_head = jnp.repeat(jnp.arange(G), H // G)  # [H]
     Bh = B[:, group_of_head]  # [T, H, S]
     Ch = C[:, group_of_head]  # [T, H, S]
-    dA = jnp.exp(A[None, :] * dt)  # [T, H]
-    dBx = dt[:, :, None, None] * xs[:, :, :, None] * Bh[:, :, None, :]  # [T,H,P,S]
+    logd = A[None, :] * dt  # [T, H], log of the per-step decay (<= 0)
 
-    def step(carry, inp):
-        da_t, dbx_t, c_t = inp
-        new = carry * da_t[:, None, None] + dbx_t
-        y_t = jnp.einsum("hps,hs->hp", new, c_t)
-        return new, y_t
+    # Chunked (SSD-style) scan: sequential only across chunks; inside a chunk
+    # everything is dense einsums on the MXU. Replaces the reference's
+    # per-token loop (mamba2.go:250-351) — SURVEY.md §7 'Hard parts #7'.
+    #   s_t = P_t*S0 + sum_{i<=t} (P_t/P_i) * dt_i * x_i ⊗ B_i,
+    #   y_t = C_t · s_t,  with P_t = exp(cumsum(logd)) (ratios are exp of
+    #   differences of a non-increasing cumsum — never overflow).
+    C_CH = min(64, T)
+    while T % C_CH != 0:
+        C_CH //= 2
+    n_chunks = T // C_CH
+
+    def reshape_c(a):
+        return a.reshape((n_chunks, C_CH) + a.shape[1:])
+
+    xs_c, Bh_c, Ch_c, dt_c, logd_c = map(reshape_c, (xs, Bh, Ch, dt, logd))
+    causal = jnp.tril(jnp.ones((C_CH, C_CH), jnp.float32))
+
+    def chunk_step(S0, inp):
+        x_k, B_k, C_k, dt_k, ld_k = inp  # [C, H, P] / [C, H, S] / ... / [C, H]
+        cum = jnp.cumsum(ld_k, axis=0)  # [C, H]
+        Pt = jnp.exp(cum)
+        y0 = Pt[:, :, None] * jnp.einsum("chs,hps->chp", C_k, S0)
+        CB = jnp.einsum("chs,ihs->cih", C_k, B_k)  # [C, i, H]
+        # Mask the exponent BEFORE exp: the non-causal (i > t) differences
+        # are positive and overflow to inf (inf * causal-0 = NaN).
+        expo = cum[:, None, :] - cum[None, :, :]  # log(P_t / P_i)
+        expo = jnp.where(causal[:, :, None] > 0, expo, -jnp.inf)
+        G = CB * jnp.exp(expo) * dt_k[None, :, :]
+        y_intra = jnp.einsum("cih,ihp->chp", G, x_k)
+        w = jnp.exp(cum[-1][None, :] - cum) * dt_k  # [C, H]
+        S_new = jnp.exp(cum[-1])[:, None, None] * S0 + jnp.einsum(
+            "ch,chp,chs->hps", w, x_k, B_k
+        )
+        return S_new, y0 + y_intra
 
     init = jnp.zeros((H, P, S), jnp.float32)
-    final_state, ys = jax.lax.scan(step, init, (dA, dBx, Ch))
+    final_state, ys = jax.lax.scan(chunk_step, init, (xs_c, Bh_c, Ch_c, dt_c, logd_c))
+    ys = ys.reshape(T, H, P)
     y = ys + xs * p["D"].astype(jnp.float32)[None, :, None]
     out = _gated_out(cfg, p, y.reshape(T, d_inner), gate)
 
