@@ -50,6 +50,7 @@ def main():
         kv_block_size=128, kv_pool_bytes=6 << 30, max_decode_slots=B,
         min_prefill_bucket=512, eos_token_id=128001,
         enable_prefix_caching=False, decode_burst=8,
+        kv_cache_dtype="int8",  # exercises the fused-dequant paged kernel
     )
     llm = LLM(model_config=cfg, engine_config=ecfg, params=params)
     eng = llm.engine
@@ -72,7 +73,7 @@ def main():
     decode_tok_s = m["decode_tokens"] / m["decode_time"] if m["decode_time"] else 0.0
     log(f"decode@{PROMPT}ctx: {decode_tok_s:.1f} tok/s")
     print(json.dumps({
-        "metric": f"llama1b bf16 decode at {PROMPT}-token context (1 chip)",
+        "metric": f"llama1b bf16-weights int8-KV decode at {PROMPT}-token context (1 chip)",
         "value": round(decode_tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(decode_tok_s / 1.7, 2),

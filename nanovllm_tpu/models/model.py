@@ -50,9 +50,14 @@ from nanovllm_tpu.ops.rope import apply_rope, compute_inv_freq, rope_cos_sin
 from nanovllm_tpu.ops import moe as moe_ops
 from nanovllm_tpu.ops import mamba2 as mamba_ops
 
+import os as _os
+
 # Tri-state: None = auto (TPU + non-quantized pool + long context window),
-# True/False = forced.
-_USE_PAGED_KERNEL: bool | None = None
+# True/False = forced. Env override: NANOVLLM_PAGED=1/0.
+_USE_PAGED_KERNEL: bool | None = (
+    None if _os.environ.get("NANOVLLM_PAGED") not in ("0", "1")
+    else _os.environ.get("NANOVLLM_PAGED") == "1"
+)
 # Below this context-window bucket, the batched XLA gather beats the
 # per-lane page-DMA kernel (too few pages to pipeline; measured 3.4k vs
 # 2.1k tok/s at a 256-token bucket on Llama-1B). The kernel's exact-traffic
