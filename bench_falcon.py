@@ -54,10 +54,22 @@ def main():
     B, PROMPT, DECODE = 16, 128, 32
 
     t0 = time.time()
-    log("building INT4 weights at Falcon-7B shapes...")
-    params = M.to_device_params(
-        quantize_params(M.init_params(cfg, 0, numpy=True), "int4"), cfg
-    )
+    import os, pickle
+
+    cache = "/tmp/nanovllm_bench_falcon7b_int4_v2.pkl"
+    if os.path.exists(cache):
+        log("loading cached INT4 weights...")
+        with open(cache, "rb") as f:
+            params_np = pickle.load(f)
+    else:
+        log("building INT4 weights at Falcon-7B shapes...")
+        params_np = quantize_params(M.init_params(cfg, 0, numpy=True), "int4")
+        try:
+            with open(cache, "wb") as f:
+                pickle.dump(params_np, f)
+        except OSError:
+            pass
+    params = M.to_device_params(params_np, cfg)
     log(f"weights ready in {time.time()-t0:.0f}s")
 
     ecfg = EngineConfig(

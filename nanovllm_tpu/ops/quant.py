@@ -69,7 +69,10 @@ class QuantLinear:
     @classmethod
     def from_dense(cls, w: np.ndarray, b, mode: str) -> "QuantLinear":
         n_in, n_out = w.shape
-        w = _pad_to(_pad_to(w, 0, 128), 1, 128)
+        # Large contraction dims pad to a coarse multiple so the k-split
+        # kernel gets big chunks (18176 would otherwise force 128-row steps).
+        kmult = 2048 if n_in > 8192 else 128
+        w = _pad_to(_pad_to(w, 0, kmult), 1, 128)
         if mode == "int8":
             qw, scale = quantize_int8(w)
         elif mode == "int4":
