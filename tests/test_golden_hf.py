@@ -193,3 +193,53 @@ def test_granite_hybrid_moe_golden(tmp_path):
         )
     ).eval()
     check_model(tmp_path, m, TOKENS, rtol=1e-3, atol=1e-3)
+
+
+def test_sharded_checkpoint_golden(tmp_path):
+    """Sharded safetensors (model.safetensors.index.json) load path
+    (reference generic_loader.go:1042-1163)."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    m = LlamaForCausalLM(
+        LlamaConfig(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, intermediate_size=112, vocab_size=101,
+        )
+    ).eval()
+    d = str(tmp_path / "sharded")
+    m.save_pretrained(d, safe_serialization=True, max_shard_size="100KB")
+    import os
+
+    assert os.path.exists(os.path.join(d, "model.safetensors.index.json")), "not sharded"
+    cfg, params = load_model_dir(d, dtype="float32")
+    ours = run_prefill_logits_all(cfg, params, TOKENS)
+    ref = hf_last_logits(m, TOKENS)
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_quantized_load_and_cache(tmp_path):
+    """INT8 load-time quantization keeps logits close; the pre-pack cache
+    round-trips identically."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    m = LlamaForCausalLM(
+        LlamaConfig(
+            hidden_size=64, num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, intermediate_size=256, vocab_size=300,
+        )
+    ).eval()
+    d = str(tmp_path / "q")
+    m.save_pretrained(d, safe_serialization=True)
+    cfg, params_fp = load_model_dir(d, dtype="float32")
+    ref = run_prefill_logits_all(cfg, params_fp, TOKENS)
+    cfg, params_q = load_model_dir(d, dtype="float32", quantization="int8")
+    got = run_prefill_logits_all(cfg, params_q, TOKENS)
+    # INT8 weight-only should track fp32 closely on a tiny model.
+    assert np.abs(got - ref).max() < 0.25
+    # Second load hits the sidecar cache and matches exactly.
+    import os
+
+    assert os.path.exists(os.path.join(d, ".nv_quant_int8.pkl"))
+    cfg, params_q2 = load_model_dir(d, dtype="float32", quantization="int8")
+    got2 = run_prefill_logits_all(cfg, params_q2, TOKENS)
+    np.testing.assert_array_equal(got, got2)
