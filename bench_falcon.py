@@ -51,7 +51,7 @@ def main():
         model_type="falcon",
         eos_token_id=11,
     )
-    B, PROMPT, DECODE = 16, 128, 32
+    B, PROMPT, DECODE = 32, 128, 32
 
     t0 = time.time()
     import os, pickle
