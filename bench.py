@@ -56,9 +56,9 @@ def main():
         model_type="llama",
         eos_token_id=128001,
     )
-    B = 32           # decode lanes
-    PROMPT = 128
-    DECODE = 64
+    B = int(os.environ.get("NANOVLLM_BENCH_LANES", "32"))   # decode lanes
+    PROMPT = int(os.environ.get("NANOVLLM_BENCH_PROMPT", "128"))
+    DECODE = int(os.environ.get("NANOVLLM_BENCH_DECODE", "64"))
 
     t0 = time.time()
     rng = np.random.default_rng(0)

@@ -199,9 +199,10 @@ class TPUModelRunner:
             bs = self.ecfg.kv_block_size
             Lh = self.hist_capacity
 
+            nslots = self.num_slots_flat
+
             def fn(params, tokens0, positions0, context_lens0, active, block_tables,
                    pool, mamba_state, history, sampling, step0):
-                nslots = pool["k"].shape[1]
                 Sn = tokens0.shape[0]
                 lanes = jnp.arange(Sn)
 

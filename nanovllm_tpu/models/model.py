@@ -70,7 +70,7 @@ def set_use_paged_kernel(flag: bool | None) -> None:
     _USE_PAGED_KERNEL = flag
 
 
-def _paged_kernel_ok(pool_l: dict, ctx_bucket: int) -> bool:
+def _paged_kernel_ok(ctx_bucket: int) -> bool:
     if _USE_PAGED_KERNEL is not None:
         return _USE_PAGED_KERNEL
     return jax.default_backend() == "tpu" and ctx_bucket >= PAGED_KERNEL_MIN_CTX
@@ -295,19 +295,20 @@ def prefill_chunk(
     x = _embed(cfg, params, tokens, positions)
     S = block_table.shape[0] * block_size
     k_positions = jnp.arange(S, dtype=jnp.int32)
+    nslots = pool["k"].shape[0] // cfg.num_layers
     cos_sin = None
     if cfg.position_type == PositionType.ROPE:
         cos_sin = rope_cos_sin(positions, params["rope_inv_freq"])
 
-    def attn_layer(blk, x, pool_l, use_rope):
+    def attn_layer(blk, x, pool, layer, use_rope):
         h = apply_norm(blk["ln1"], x, cfg.norm_eps)
         q, k, v = _qkv(cfg, blk["attn"], h)
         if cos_sin is not None and use_rope:
             q = apply_rope(q, *cos_sin)
             k = apply_rope(k, *cos_sin)
-        pool_l = kvc.kv_write_layer(pool_l, k, v, slot_mapping)
-        k_ctx, v_ctx = kvc.kv_gather_layer(
-            pool_l, block_table[None, :], block_size, cfg.num_kv_heads, dtype=x.dtype
+        pool = kvc.kv_write(pool, layer, nslots, k, v, slot_mapping)
+        k_ctx, v_ctx = kvc.kv_gather(
+            pool, layer, nslots, block_table[None, :], block_size, cfg.num_kv_heads, dtype=x.dtype
         )
         attn = attention_chunk(
             q, k_ctx[0], v_ctx[0], positions, k_positions, context_len,
@@ -322,22 +323,16 @@ def prefill_chunk(
             x = _residual_add(cfg, x, attn_out)
             h2 = apply_norm(blk["ln2"], x, cfg.norm_eps)
             x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h2))
-        return x, pool_l
+        return x, pool
 
     if not isinstance(params["blocks"], list):
         # Homogeneous stack: lax.scan over layer-stacked params with the FULL
-        # pool in the carry, updated via dynamic-index-in-dim (XLA lowers
-        # this to an in-place DUS on the donated carry; passing pool layers
-        # as scan xs/ys forces a re-stack copy of the whole pool per step).
+        # flat pool in the carry; each layer's write is a scatter at rows
+        # offset by the traced layer index (in place — no layer slice/DUS).
         def body(carry, inp):
             x, pool = carry
             blk, i = inp
-            pool_l = {k: jax.lax.dynamic_index_in_dim(v, i, 0, keepdims=False) for k, v in pool.items()}
-            x, pool_l = attn_layer(blk, x, pool_l, _use_rope(cfg, 0))
-            pool = {
-                k: jax.lax.dynamic_update_index_in_dim(pool[k], pool_l[k], i, 0)
-                for k in pool
-            }
+            x, pool = attn_layer(blk, x, pool, i, _use_rope(cfg, 0))
             return (x, pool), None
 
         L = cfg.num_layers
@@ -355,9 +350,7 @@ def prefill_chunk(
                 h = apply_norm(blk["ln2"], x, cfg.norm_eps)
                 x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h))
                 continue
-            pool_l = kvc.pool_layer(pool, i)
-            x, pool_l = attn_layer(blk, x, pool_l, _use_rope(cfg, i))
-            pool = kvc.set_pool_layer(pool, i, pool_l)
+            x, pool = attn_layer(blk, x, pool, i, _use_rope(cfg, i))
 
     if all_logits:
         return _lm_logits(cfg, params, x), pool, mamba_state
@@ -393,19 +386,20 @@ def prefill_batch(
     x = _embed(cfg, params, tokens.reshape(-1), positions.reshape(-1))  # [N*T, E]
     S = block_tables.shape[1] * block_size
     k_positions = jnp.arange(S, dtype=jnp.int32)
+    nslots = pool["k"].shape[0] // cfg.num_layers
     cos_sin = None
     if cfg.position_type == PositionType.ROPE:
         cos_sin = rope_cos_sin(positions.reshape(-1), params["rope_inv_freq"])
 
-    def attn_layer(blk, x, pool_l):
+    def attn_layer(blk, x, pool, layer):
         h = apply_norm(blk["ln1"], x, cfg.norm_eps)
         q, k, v = _qkv(cfg, blk["attn"], h)
         if cos_sin is not None and _use_rope(cfg, 0):
             q = apply_rope(q, *cos_sin)
             k = apply_rope(k, *cos_sin)
-        pool_l = kvc.kv_write_layer(pool_l, k, v, slot_mapping)
-        k_ctx, v_ctx = kvc.kv_gather_layer(
-            pool_l, block_tables, block_size, cfg.num_kv_heads, dtype=x.dtype
+        pool = kvc.kv_write(pool, layer, nslots, k, v, slot_mapping)
+        k_ctx, v_ctx = kvc.kv_gather(
+            pool, layer, nslots, block_tables, block_size, cfg.num_kv_heads, dtype=x.dtype
         )
         attn = attention_chunk_batched(
             q.reshape(N, T, cfg.num_heads, cfg.head_dim),
@@ -420,18 +414,13 @@ def prefill_batch(
             x = _residual_add(cfg, x, attn_out)
             h2 = apply_norm(blk["ln2"], x, cfg.norm_eps)
             x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h2))
-        return x, pool_l
+        return x, pool
 
     if not isinstance(params["blocks"], list):
         def body(carry, inp):
             x, pool = carry
             blk, i = inp
-            pool_l = {k: jax.lax.dynamic_index_in_dim(v, i, 0, keepdims=False) for k, v in pool.items()}
-            x, pool_l = attn_layer(blk, x, pool_l)
-            pool = {
-                k: jax.lax.dynamic_update_index_in_dim(pool[k], pool_l[k], i, 0)
-                for k in pool
-            }
+            x, pool = attn_layer(blk, x, pool, i)
             return (x, pool), None
 
         (x, pool), _ = jax.lax.scan(
@@ -439,9 +428,7 @@ def prefill_batch(
         )
     else:
         for i, blk in enumerate(params["blocks"]):
-            pool_l = kvc.pool_layer(pool, i)
-            x, pool_l = attn_layer(blk, x, pool_l)
-            pool = kvc.set_pool_layer(pool, i, pool_l)
+            x, pool = attn_layer(blk, x, pool, i)
 
     x = x.reshape(N, T, -1)
     last = jnp.take_along_axis(
@@ -470,29 +457,34 @@ def decode_step(
 ):
     """One batched decode step; returns (logits [B, V], pool, mamba_state)."""
     x = _embed(cfg, params, tokens, positions)  # [B, E]
+    nslots = pool["k"].shape[0] // cfg.num_layers
+    nblocks = nslots // block_size
     cos_sin = None
     if cfg.position_type == PositionType.ROPE:
         cos_sin = rope_cos_sin(positions, params["rope_inv_freq"])
 
-    def attn_layer(blk, x, pool_l, use_rope):
+    def attn_layer(blk, x, pool, layer, use_rope):
         h = apply_norm(blk["ln1"], x, cfg.norm_eps)
         B = h.shape[0]
         q, k, v = _qkv(cfg, blk["attn"], h)
         if cos_sin is not None and use_rope:
             q = apply_rope(q, *cos_sin)
             k = apply_rope(k, *cos_sin)
-        pool_l = kvc.kv_write_layer(pool_l, k, v, slot_mapping)
-        if _paged_kernel_ok(pool_l, block_tables.shape[1] * block_size):
+        pool = kvc.kv_write(pool, layer, nslots, k, v, slot_mapping)
+        if _paged_kernel_ok(block_tables.shape[1] * block_size):
             from nanovllm_tpu.ops.pallas.paged_attention import paged_attention_decode
 
+            # The kernel reads the flat pool directly; rebase this layer's
+            # block ids into its row range (pages are data, not layout).
+            bt_l = block_tables + layer * nblocks
             attn = paged_attention_decode(
-                q, pool_l["k"], pool_l["v"], block_tables, context_lens,
+                q, pool["k"], pool["v"], bt_l, context_lens,
                 cfg.num_kv_heads, block_size, cfg.attn_scale, cfg.sliding_window,
-                k_scale_l=pool_l.get("k_scale"), v_scale_l=pool_l.get("v_scale"),
+                k_scale_l=pool.get("k_scale"), v_scale_l=pool.get("v_scale"),
             )
         else:
-            k_ctx, v_ctx = kvc.kv_gather_layer(
-                pool_l, block_tables, block_size, cfg.num_kv_heads, dtype=x.dtype
+            k_ctx, v_ctx = kvc.kv_gather(
+                pool, layer, nslots, block_tables, block_size, cfg.num_kv_heads, dtype=x.dtype
             )
             attn = attention_decode(q, k_ctx, v_ctx, context_lens, cfg.attn_scale, cfg.sliding_window)
         attn_out = linear(blk["attn"]["o"], attn.reshape(B, -1))
@@ -503,18 +495,13 @@ def decode_step(
             x = _residual_add(cfg, x, attn_out)
             h2 = apply_norm(blk["ln2"], x, cfg.norm_eps)
             x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h2))
-        return x, pool_l
+        return x, pool
 
     if not isinstance(params["blocks"], list):
         def body(carry, inp):
             x, pool = carry
             blk, i = inp
-            pool_l = {k: jax.lax.dynamic_index_in_dim(v, i, 0, keepdims=False) for k, v in pool.items()}
-            x, pool_l = attn_layer(blk, x, pool_l, _use_rope(cfg, 0))
-            pool = {
-                k: jax.lax.dynamic_update_index_in_dim(pool[k], pool_l[k], i, 0)
-                for k in pool
-            }
+            x, pool = attn_layer(blk, x, pool, i, _use_rope(cfg, 0))
             return (x, pool), None
 
         (x, pool), _ = jax.lax.scan(
@@ -529,9 +516,7 @@ def decode_step(
                 h = apply_norm(blk["ln2"], x, cfg.norm_eps)
                 x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h))
                 continue
-            pool_l = kvc.pool_layer(pool, i)
-            x, pool_l = attn_layer(blk, x, pool_l, _use_rope(cfg, i))
-            pool = kvc.set_pool_layer(pool, i, pool_l)
+            x, pool = attn_layer(blk, x, pool, i, _use_rope(cfg, i))
 
     logits = _lm_logits(cfg, params, x)
     return logits, pool, mamba_state

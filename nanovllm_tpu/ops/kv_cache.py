@@ -6,25 +6,34 @@ in per-sequence tensors grown by O(n^2) re-concatenation each decode step
 (/root/reference/purego/tensor/kv_cache.go, attention.go:239-244;
 SURVEY.md §2.5-1). Here the pool is a preallocated on-device array
 
-    k, v : [num_layers, num_blocks * block_size, num_kv_heads, head_dim]
+    k, v : [num_layers * num_blocks * block_size, num_kv_heads * head_dim]
 
-(a flat "slot" view of the block pool — slot = block_id * block_size +
-offset), written via shape-stable scatters driven by a per-token
-`slot_mapping` array and read via block-table gathers. Optional INT8 KV
-quantization stores int8 values plus per-(slot, head) fp32 scales (new
+— ONE flat slot-major buffer for all layers (slot = layer * slots_per_layer +
+block_id * block_size + offset), written via shape-stable scatters driven by a
+per-token `slot_mapping` array and read via block-table gathers. Optional INT8
+KV quantization stores int8 values plus per-(slot, head) fp32 scales (new
 capability; BASELINE.json north star).
 
-Layout note (TPU tiling): the pool stores K/V with heads FOLDED into the
-minor dim — [L, slots, Hkv*D] — not [L, slots, Hkv, D]. TPU tiles pad the
-two minor dims to (8,128)-multiples; with (Hkv, D) minor a GQA pool
-(Hkv=4..8, D=64) pads 2-8x in HBM (observed: a 2GB pool padded to 16GB).
-Hkv*D is 512+ for every real model, so the folded layout pads nothing.
-Scales are stored [L, Hkv, slots] for the same reason (slots in the lane
-dim). Per-(token, head) writes/reads reshape at the gather/scatter boundary
-where the data is small.
+Why flat and not [L, slots, Hkv*D]: per-layer updates on a layer-major pool
+lower to slice→scatter→dynamic-update-slice, and XLA materializes the sliced
+layer (~tens of MB) twice per layer per step — measured ~5x decode slowdown
+at 1GB pools, scaling with pool size. A flat pool makes every layer's write a
+scatter *into the carried buffer itself* (row indices offset by
+layer * slots_per_layer), which XLA performs in place on donated/loop-carried
+buffers. The layer index may be a traced scalar, so lax.scan over layers gets
+the same zero-copy path.
 
-All writes use out-of-bounds slot indices with mode='drop' for padding lanes,
-so prefill chunks and decode batches keep static shapes under jit.
+Layout note (TPU tiling): heads are FOLDED into the minor dim — [slots,
+Hkv*D] — not [slots, Hkv, D]. TPU tiles pad the two minor dims to
+(8,128)-multiples; with (Hkv, D) minor a GQA pool (Hkv=4..8, D=64) pads 2-8x
+in HBM (observed: a 2GB pool padded to 16GB). Hkv*D is 512+ for every real
+model, so the folded layout pads nothing. Scales are stored [Hkv, slots]
+(slots in the lane dim) for the same reason.
+
+All writes use out-of-bounds slot indices with mode='drop' for padding lanes.
+Callers pass PER-LAYER slot ids with the per-layer slot count as the OOB
+sentinel; `kv_write` rebases in-bounds ids by layer * nslots and maps the
+sentinel to the global row count so padding still drops.
 """
 
 from __future__ import annotations
@@ -32,6 +41,29 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Tri-state: None = auto (TPU backend); True/False force. The Pallas row
+# writer replaces XLA's row-serialized scatter (~91us per layer-side on v5e,
+# 56% of decode device time) with B direct row DMAs.
+_USE_WRITE_KERNEL: bool | None = None
+# Above this many rows, stick with the XLA scatter (prefill-sized writes
+# amortize the scatter and mostly hit contiguous slots).
+WRITE_KERNEL_MAX_ROWS = 256
+
+
+def set_use_write_kernel(flag: bool | None) -> None:
+    global _USE_WRITE_KERNEL
+    _USE_WRITE_KERNEL = flag
+
+
+def _write_kernel_ok(T: int) -> bool:
+    if _USE_WRITE_KERNEL is not None:
+        return _USE_WRITE_KERNEL
+    # TEMPORARILY default-off: Mosaic rejects single-row dynamic DMAs into a
+    # 2D tiled HBM ref ("slice shape along dim 0 must be aligned to tiling").
+    # Fix in flight: combined [k|v] rows of >=1024 elements written as 1D DMAs
+    # with pl.multiple_of offset hints.
+    return False
 
 
 def create_kv_pool(
@@ -43,9 +75,9 @@ def create_kv_pool(
     dtype=jnp.bfloat16,
     quantized: bool = False,
 ) -> dict:
-    nslots = num_blocks * block_size
-    shape = (num_layers, nslots, num_kv_heads * head_dim)
-    scale_shape = (num_layers, num_kv_heads, nslots)
+    total = num_layers * num_blocks * block_size
+    shape = (total, num_kv_heads * head_dim)
+    scale_shape = (num_kv_heads, total)
     if quantized:
         return {
             "k": jnp.zeros(shape, jnp.int8),
@@ -77,94 +109,90 @@ def _quantize_kv(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
-def kv_write_layer(pool_l: dict, k: jnp.ndarray, v: jnp.ndarray, slot_mapping: jnp.ndarray) -> dict:
-    """Layer-local scatter: pool_l holds one layer's arrays ('k'/'v'
-    [slots, Hkv*D], scales [Hkv, slots]). Used directly by the
-    scan-over-layers fast path."""
+def _rebase(slot_mapping: jnp.ndarray, layer, nslots: int, total: int) -> jnp.ndarray:
+    """Per-layer slot ids -> flat pool rows. The per-layer OOB sentinel
+    (>= nslots) maps to the global row count so scatters still drop it."""
+    return jnp.where(
+        slot_mapping >= nslots, total, slot_mapping + layer * nslots
+    ).astype(jnp.int32)
+
+
+def kv_write(
+    pool: dict,
+    layer,                      # int or traced int32 scalar
+    nslots: int,                # slots per layer (static)
+    k: jnp.ndarray,             # [T, Hkv, D]
+    v: jnp.ndarray,
+    slot_mapping: jnp.ndarray,  # [T] per-layer slot ids (OOB => padding)
+) -> dict:
+    """Scatter one layer's K/V rows into the flat pool (in place on carried
+    buffers — no layer slice ever materializes)."""
     T = k.shape[0]
-    out = dict(pool_l)
-    if pool_l["k"].dtype == jnp.int8:
-        qk, sk = _quantize_kv(k)
-        qv, sv = _quantize_kv(v)
-        out["k"] = pool_l["k"].at[slot_mapping].set(qk.reshape(T, -1), mode="drop")
-        out["v"] = pool_l["v"].at[slot_mapping].set(qv.reshape(T, -1), mode="drop")
-        # x[:, idx] keeps the advanced axis in place (single adjacent
-        # advanced index), so the update value is [Hkv, T].
-        out["k_scale"] = pool_l["k_scale"].at[:, slot_mapping].set(sk.T, mode="drop")
-        out["v_scale"] = pool_l["v_scale"].at[:, slot_mapping].set(sv.T, mode="drop")
-    else:
-        dt = pool_l["k"].dtype
-        out["k"] = pool_l["k"].at[slot_mapping].set(k.astype(dt).reshape(T, -1), mode="drop")
-        out["v"] = pool_l["v"].at[slot_mapping].set(v.astype(dt).reshape(T, -1), mode="drop")
-    return out
-
-
-def pool_layer(pool: dict, layer: int) -> dict:
-    return {k: v[layer] for k, v in pool.items()}
-
-
-def set_pool_layer(pool: dict, layer: int, pool_l: dict) -> dict:
-    return {k: pool[k].at[layer].set(pool_l[k]) for k in pool}
-
-
-def kv_write(pool: dict, layer: int, k: jnp.ndarray, v: jnp.ndarray, slot_mapping: jnp.ndarray) -> dict:
-    """Indexed wrapper over kv_write_layer (used by the per-layer Python loop
-    for heterogeneous/hybrid models)."""
-    T = k.shape[0]
+    total = pool["k"].shape[0]
+    rows = _rebase(slot_mapping, layer, nslots, total)
     out = dict(pool)
+    if _write_kernel_ok(T):
+        from nanovllm_tpu.ops.pallas.kv_write import kv_write_rows, kv_write_scales
+
+        if pool["k"].dtype == jnp.int8:
+            qk, sk = _quantize_kv(k)
+            qv, sv = _quantize_kv(v)
+            out["k"], out["v"] = kv_write_rows(
+                pool["k"], pool["v"], qk.reshape(T, -1), qv.reshape(T, -1), rows
+            )
+            out["k_scale"], out["v_scale"] = kv_write_scales(
+                pool["k_scale"], pool["v_scale"], sk.T, sv.T, rows
+            )
+        else:
+            out["k"], out["v"] = kv_write_rows(
+                pool["k"], pool["v"], k.reshape(T, -1), v.reshape(T, -1), rows
+            )
+        return out
     if pool["k"].dtype == jnp.int8:
         qk, sk = _quantize_kv(k)
         qv, sv = _quantize_kv(v)
-        out["k"] = pool["k"].at[layer, slot_mapping].set(qk.reshape(T, -1), mode="drop")
-        out["v"] = pool["v"].at[layer, slot_mapping].set(qv.reshape(T, -1), mode="drop")
-        out["k_scale"] = pool["k_scale"].at[layer, :, slot_mapping].set(sk, mode="drop")
-        out["v_scale"] = pool["v_scale"].at[layer, :, slot_mapping].set(sv, mode="drop")
+        out["k"] = pool["k"].at[rows].set(qk.reshape(T, -1), mode="drop")
+        out["v"] = pool["v"].at[rows].set(qv.reshape(T, -1), mode="drop")
+        # x[:, idx] keeps the advanced axis in place (single adjacent
+        # advanced index), so the update value is [Hkv, T].
+        out["k_scale"] = pool["k_scale"].at[:, rows].set(sk.T, mode="drop")
+        out["v_scale"] = pool["v_scale"].at[:, rows].set(sv.T, mode="drop")
     else:
         dt = pool["k"].dtype
-        out["k"] = pool["k"].at[layer, slot_mapping].set(k.astype(dt).reshape(T, -1), mode="drop")
-        out["v"] = pool["v"].at[layer, slot_mapping].set(v.astype(dt).reshape(T, -1), mode="drop")
+        out["k"] = pool["k"].at[rows].set(k.astype(dt).reshape(T, -1), mode="drop")
+        out["v"] = pool["v"].at[rows].set(v.astype(dt).reshape(T, -1), mode="drop")
     return out
 
 
 def kv_gather(
     pool: dict,
-    layer: int,
-    block_tables: jnp.ndarray,
+    layer,                      # int or traced int32 scalar
+    nslots: int,                # slots per layer (static)
+    block_tables: jnp.ndarray,  # [B, max_blocks] per-layer physical block ids
     block_size: int,
     num_kv_heads: int,
     dtype=jnp.bfloat16,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Gather context KV for a batch of sequences.
+    """Gather context KV for a batch of sequences from layer `layer`.
 
-    block_tables [B, max_blocks] (physical block ids; padding entries may be
-    any valid id — callers mask by context length). Returns k, v of shape
-    [B, max_blocks * block_size, Hkv, D] in `dtype` (dequantized if the pool
-    is INT8).
+    Padding block-table entries may be any valid id — callers mask by context
+    length. Returns k, v of shape [B, max_blocks * block_size, Hkv, D] in
+    `dtype` (dequantized if the pool is INT8).
     """
-    return kv_gather_layer(pool_layer(pool, layer), block_tables, block_size, num_kv_heads, dtype)
-
-
-def kv_gather_layer(
-    pool_l: dict,
-    block_tables: jnp.ndarray,
-    block_size: int,
-    num_kv_heads: int,
-    dtype=jnp.bfloat16,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
     bs = block_size
     B, nb = block_tables.shape
     slots = block_tables[:, :, None] * bs + jnp.arange(bs, dtype=block_tables.dtype)[None, None, :]
-    slots = slots.reshape(B, nb * bs)
+    slots = slots.reshape(B, nb * bs) + layer * nslots
     S = nb * bs
     Hkv = num_kv_heads
-    k = jnp.take(pool_l["k"], slots, axis=0)  # [B, S, Hkv*D]
-    v = jnp.take(pool_l["v"], slots, axis=0)
+    k = jnp.take(pool["k"], slots, axis=0)  # [B, S, Hkv*D]
+    v = jnp.take(pool["v"], slots, axis=0)
     D = k.shape[-1] // Hkv
     k = k.reshape(B, S, Hkv, D)
     v = v.reshape(B, S, Hkv, D)
-    if pool_l["k"].dtype == jnp.int8:
-        ks = jnp.take(pool_l["k_scale"], slots, axis=1)  # [Hkv, B, S]
-        vs = jnp.take(pool_l["v_scale"], slots, axis=1)
+    if pool["k"].dtype == jnp.int8:
+        ks = jnp.take(pool["k_scale"], slots, axis=1)  # [Hkv, B, S]
+        vs = jnp.take(pool["v_scale"], slots, axis=1)
         k = k.astype(jnp.float32) * ks.transpose(1, 2, 0)[..., None]
         v = v.astype(jnp.float32) * vs.transpose(1, 2, 0)[..., None]
     return k.astype(dtype), v.astype(dtype)
@@ -173,9 +201,10 @@ def kv_gather_layer(
 def make_slot_mapping(
     block_table: np.ndarray, start: int, length: int, block_size: int, pad_to: int, num_slots: int
 ) -> np.ndarray:
-    """Host-side helper: flat slot ids for tokens [start, start+length) of a
-    sequence with the given (logical-order) block table; padded to `pad_to`
-    with `num_slots` (an OOB slot that scatters drop)."""
+    """Host-side helper: per-layer flat slot ids for tokens
+    [start, start+length) of a sequence with the given (logical-order) block
+    table; padded to `pad_to` with `num_slots` (the per-layer OOB sentinel
+    that kv_write drops)."""
     pos = np.arange(start, start + length)
     blocks = np.asarray(block_table)[pos // block_size]
     slots = blocks * block_size + pos % block_size

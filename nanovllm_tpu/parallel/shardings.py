@@ -132,11 +132,11 @@ def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
 def pool_specs(cfg: ModelConfig, mesh: Mesh, quantized: bool) -> dict:
     tp = mesh.shape[MODEL_AXIS]
     kv_axis = MODEL_AXIS if cfg.num_kv_heads % tp == 0 else None
-    # Pool layout is [L, slots, Hkv*D] (heads folded into the minor dim);
+    # Pool layout is flat [L*slots, Hkv*D] (heads folded into the minor dim);
     # sharding the folded dim over 'model' splits on head boundaries because
-    # Hkv % tp == 0. Scales are [L, Hkv, slots].
-    val = P(None, None, kv_axis)
-    scale = P(None, kv_axis, None)
+    # Hkv % tp == 0. Scales are [Hkv, L*slots].
+    val = P(None, kv_axis)
+    scale = P(kv_axis, None)
     d = {"k": val, "v": val}
     if quantized:
         d["k_scale"] = scale

@@ -18,9 +18,9 @@ def test_kv_int8_roundtrip():
     k = rng.standard_normal((10, 2, 8)).astype(np.float32)
     v = rng.standard_normal((10, 2, 8)).astype(np.float32)
     sm = jnp.asarray(np.arange(10, dtype=np.int32) + 16)  # block 1
-    pool = kvc.kv_write(pool, 0, jnp.asarray(k), jnp.asarray(v), sm)
+    pool = kvc.kv_write(pool, 0, 4 * BS, jnp.asarray(k), jnp.asarray(v), sm)
     bt = jnp.asarray(np.array([[1, 0]], np.int32))
-    kg, vg = kvc.kv_gather(pool, 0, bt, BS, 2, dtype=jnp.float32)
+    kg, vg = kvc.kv_gather(pool, 0, 4 * BS, bt, BS, 2, dtype=jnp.float32)
     # first 10 slots of block 1 hold our values
     np.testing.assert_allclose(np.asarray(kg)[0, :10], k, atol=2e-2, rtol=2e-2)
     np.testing.assert_allclose(np.asarray(vg)[0, :10], v, atol=2e-2, rtol=2e-2)
