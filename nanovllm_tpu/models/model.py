@@ -470,7 +470,7 @@ def decode_step(
         if cos_sin is not None and use_rope:
             q = apply_rope(q, *cos_sin)
             k = apply_rope(k, *cos_sin)
-        pool = kvc.kv_write(pool, layer, nslots, k, v, slot_mapping)
+        pool = kvc.kv_write(pool, layer, nslots, k, v, slot_mapping, decode=True)
         if _paged_kernel_ok(block_tables.shape[1] * block_size):
             from nanovllm_tpu.ops.pallas.paged_attention import paged_attention_decode
 
