@@ -1,0 +1,101 @@
+"""Profile one decode burst of the bench configuration; summarize device ops."""
+import glob
+import gzip
+import json
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+import jax
+
+from nanovllm_tpu.config import (
+    ActivationType, EngineConfig, ModelConfig, NormType, PositionType, RopeScalingConfig,
+)
+from nanovllm_tpu.engine.llm import LLM
+from nanovllm_tpu.io.loader import quantize_params
+from nanovllm_tpu.models import model as M
+from nanovllm_tpu.sampling_params import SamplingParams
+
+cfg = ModelConfig(
+    vocab_size=128256, hidden_size=2048, num_layers=16, num_heads=32,
+    num_kv_heads=8, head_dim=64, intermediate_size=8192, max_seq_len=4096,
+    norm_type=NormType.RMSNORM, position_type=PositionType.ROPE,
+    activation=ActivationType.SWIGLU, rope_theta=500000.0,
+    rope_scaling=RopeScalingConfig(), tie_word_embeddings=True,
+    dtype="bfloat16", model_type="llama", eos_token_id=128001,
+)
+B, PROMPT, DECODE = 32, 128, 64
+
+with open("/tmp/nanovllm_bench_llama1b_int8_v2.pkl", "rb") as f:
+    params_np = pickle.load(f)
+params = M.to_device_params(params_np, cfg)
+
+ecfg = EngineConfig(
+    max_num_batched_tokens=8192, max_num_seqs=B, max_model_len=1024,
+    kv_block_size=128, kv_pool_bytes=2 << 30, max_decode_slots=B,
+    min_prefill_bucket=128, eos_token_id=cfg.eos_token_ids[0],
+    quantization="int8", decode_burst=16, enable_prefix_caching=False,
+)
+llm = LLM(model_config=cfg, engine_config=ecfg, params=params)
+eng = llm.engine
+
+rng = np.random.default_rng(0)
+prompts = [rng.integers(1, cfg.vocab_size, size=PROMPT).tolist() for _ in range(B)]
+sp = SamplingParams(temperature=0.0, max_tokens=DECODE, ignore_eos=True)
+
+print("warmup (compiling)...", file=sys.stderr)
+for p in prompts:
+    eng.add_request(p, sp)
+while not eng.is_finished():
+    eng.step()
+
+# second round: trace a few decode steps after prefill is done
+for p in prompts:
+    eng.add_request(p, sp)
+# run prefills + a couple of decode bursts untraced
+for _ in range(8):
+    if not eng.is_finished():
+        eng.step()
+
+trace_dir = "/tmp/nvtrace"
+os.system(f"rm -rf {trace_dir}")
+with jax.profiler.trace(trace_dir):
+    for _ in range(3):
+        if not eng.is_finished():
+            eng.step()
+
+while not eng.is_finished():
+    eng.step()
+
+files = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
+print("xplane files:", files, file=sys.stderr)
+if not files:
+    tj = glob.glob(f"{trace_dir}/**/*trace.json.gz", recursive=True)
+    print("trace.json:", tj, file=sys.stderr)
+    sys.exit(1)
+
+from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+
+data, _ = rtd.xspace_to_tool_data(files, "trace_viewer^", {})
+# trace viewer json: summarize device-track events
+tr = json.loads(data)
+evs = tr["traceEvents"] if isinstance(tr, dict) else tr
+# find TPU device track pids
+names = {}
+for e in evs:
+    if e.get("ph") == "M" and e.get("name") == "process_name":
+        names[e["pid"]] = e["args"]["name"]
+dev_pids = {p for p, n in names.items() if "TPU" in n or "device" in n.lower()}
+agg = {}
+for e in evs:
+    if e.get("ph") == "X" and e.get("pid") in dev_pids:
+        agg.setdefault(e["name"], [0, 0.0])
+        agg[e["name"]][0] += 1
+        agg[e["name"]][1] += e.get("dur", 0)
+top = sorted(agg.items(), key=lambda kv: -kv[1][1])[:40]
+tot = sum(v[1] for v in agg.values())
+print(f"total device event time: {tot/1e3:.2f} ms (3 engine steps)")
+for name, (n, dur) in top:
+    print(f"{dur/1e3:9.3f} ms  x{n:5d}  {name[:110]}")
