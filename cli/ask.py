@@ -30,6 +30,8 @@ def main(argv=None):
     ap.add_argument("--chat-format", default=None, help="llama3|falcon|granite|mistral|completion")
     ap.add_argument("--quantization", default="none", choices=["none", "int8", "int4"])
     ap.add_argument("--kv-cache-dtype", default="none", choices=["none", "int8"])
+    ap.add_argument("--tensor-parallel-size", type=int, default=1,
+                    help="shard attention heads / FFN / experts over this many chips")
     ap.add_argument("--raw", action="store_true", help="no chat template")
     args = ap.parse_args(argv)
     question = " ".join(args.question)
@@ -39,13 +41,15 @@ def main(argv=None):
     from nanovllm_tpu.sampling_params import SamplingParams
     from nanovllm_tpu.tokenizer.chat_templates import (
         STOP_STRINGS, chat_format_for_model_type, format_prompt,
+        format_prompt_for_checkpoint,
     )
 
     t0 = time.time()
     llm = LLM(
         model=args.model_dir,
         engine_config=EngineConfig(
-            quantization=args.quantization, kv_cache_dtype=args.kv_cache_dtype
+            quantization=args.quantization, kv_cache_dtype=args.kv_cache_dtype,
+            tensor_parallel_size=args.tensor_parallel_size,
         ),
     )
     mcfg = llm.model_config
@@ -54,7 +58,12 @@ def main(argv=None):
           file=sys.stderr)
 
     fmt = args.chat_format or chat_format_for_model_type(mcfg.model_type)
-    prompt = question if args.raw else format_prompt(question, fmt)
+    if args.raw:
+        prompt = question
+    elif args.chat_format:  # explicit format wins over the checkpoint template
+        prompt = format_prompt(question, fmt)
+    else:
+        prompt = format_prompt_for_checkpoint(args.model_dir, question, fmt)
     max_tokens = args.max_tokens or mcfg.max_seq_len // 4
     sp = SamplingParams(
         temperature=args.temp, top_k=args.top_k, top_p=args.top_p,

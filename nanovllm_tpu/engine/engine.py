@@ -75,7 +75,10 @@ class LLMEngine:
             else:
                 num_kv_blocks = 1024  # reference default, scheduler.go:19-21
         eos_ids = model_cfg.eos_token_ids if model_cfg is not None else ()
-        self.scheduler = Scheduler(engine_cfg, num_kv_blocks, eos_token_ids=eos_ids)
+        self.scheduler = Scheduler(
+            engine_cfg, num_kv_blocks, eos_token_ids=eos_ids,
+            sliding_window=model_cfg.sliding_window if model_cfg is not None else 0,
+        )
         self._seqs: dict[int, Sequence] = {}
         self.metrics = {
             "prefill_tokens": 0,
@@ -93,6 +96,11 @@ class LLMEngine:
         # threads while the step loop runs (the reference's only concurrency
         # guard was a mutex on its KV map, tensor_model_runner.go:13-15).
         self._lock = threading.Lock()
+        # Abort-under-load safety: sequences in the currently-dispatched device
+        # step must keep their slot/blocks until the step returns, so aborts
+        # that land mid-step are deferred and released before postprocess.
+        self._inflight_ids: set[int] = set()
+        self._deferred_aborts: list[Sequence] = []
 
     # ---- API -------------------------------------------------------------
 
@@ -118,6 +126,7 @@ class LLMEngine:
     def step(self) -> list[RequestOutput]:
         with self._lock:
             seqs, is_prefill = self.scheduler.schedule()
+            self._inflight_ids = {s.seq_id for s in seqs}
         if not seqs:
             return []
         t0 = time.perf_counter()
@@ -137,6 +146,10 @@ class LLMEngine:
                     self._first_token[s.seq_id] = ttft
                     self.registry.observe("ttft_s", ttft)
         with self._lock:
+            self._inflight_ids = set()
+            for aborted in self._deferred_aborts:
+                self._release_sequence(aborted)
+            self._deferred_aborts.clear()
             finished = self.scheduler.postprocess(seqs, token_ids)
         if not is_prefill:
             # Count tokens actually accepted (bursts are trimmed at stop).
@@ -170,26 +183,42 @@ class LLMEngine:
             self.registry.inc("requests_finished")
         return outputs
 
+    def _release_sequence(self, seq: Sequence) -> None:
+        """Free a sequence's scheduler resources (caller holds the lock)."""
+        from nanovllm_tpu.engine.sequence import SequenceStatus
+
+        sch = self.scheduler
+        if seq in sch.waiting:
+            sch.waiting.remove(seq)
+        if seq in sch.running:
+            sch.running.remove(seq)
+        if seq.block_table:
+            sch.block_manager.deallocate(seq)
+        if seq.slot is not None:
+            sch.free_slots.append(seq.slot)
+            seq.slot = None
+        seq.status = SequenceStatus.FINISHED
+
     def abort_request(self, seq_id: int) -> bool:
         """Cancel a request (waiting or running); frees its blocks/slot.
-        Returns False if the id is unknown/already finished."""
+        Returns False if the id is unknown/already finished. Safe to call
+        from any thread, including while a device step is in flight — the
+        release is deferred until the step returns in that case."""
+        from nanovllm_tpu.engine.sequence import SequenceStatus
+
         with self._lock:
             seq = self._seqs.pop(seq_id, None)
             if seq is None:
                 return False
-            sch = self.scheduler
-            if seq in sch.waiting:
-                sch.waiting.remove(seq)
-            if seq in sch.running:
-                sch.running.remove(seq)
-                sch.block_manager.deallocate(seq)
-                if seq.slot is not None:
-                    sch.free_slots.append(seq.slot)
-                    seq.slot = None
-        from nanovllm_tpu.engine.sequence import SequenceStatus
-
-        seq.status = SequenceStatus.FINISHED
-        seq.finish_reason = "aborted"
+            seq.finish_reason = "aborted"
+            if seq.seq_id in self._inflight_ids:
+                # Mid-step: mark FINISHED (so postprocess discards the burst,
+                # under this same lock) but keep slot/blocks until the step
+                # returns — the device program is still writing to them.
+                seq.status = SequenceStatus.FINISHED
+                self._deferred_aborts.append(seq)
+            else:
+                self._release_sequence(seq)
         self._arrival.pop(seq_id, None)
         self._first_token.pop(seq_id, None)
         self.registry.inc("requests_aborted")

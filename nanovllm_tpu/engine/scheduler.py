@@ -21,8 +21,14 @@ from nanovllm_tpu.engine.sequence import Sequence, SequenceStatus
 
 
 class Scheduler:
-    def __init__(self, config: EngineConfig, num_kv_blocks: int, eos_token_ids=()):
+    def __init__(
+        self, config: EngineConfig, num_kv_blocks: int, eos_token_ids=(),
+        sliding_window: int = 0,
+    ):
         self.config = config
+        # Model's attention window (0 = full attention): enables recycling of
+        # KV blocks that fall wholly behind the window during decode.
+        self.sliding_window = sliding_window
         self.max_num_seqs = min(config.max_num_seqs, config.max_decode_slots)
         self.max_num_batched_tokens = config.max_num_batched_tokens
         self.eos_token_id = config.eos_token_id
@@ -123,6 +129,10 @@ class Scheduler:
         blocks; finish on EOS/stop-token (unless ignore_eos) or max_tokens."""
         finished = []
         for seq, burst in zip(seqs, token_bursts):
+            if seq.status == SequenceStatus.FINISHED:
+                # Aborted while the device step was in flight: its blocks and
+                # slot are already released — discard the burst entirely.
+                continue
             sp = seq.sampling_params
             stop_ids = set(sp.stop_token_ids) | self.eos_token_ids
             for token_id in burst:
@@ -135,6 +145,8 @@ class Scheduler:
                     break
             self.block_manager.seal_full_blocks(seq)
             if seq.finish_reason is None:
+                if self.sliding_window:
+                    self.block_manager.release_behind_window(seq, self.sliding_window)
                 continue
             seq.status = SequenceStatus.FINISHED
             self.block_manager.deallocate(seq)

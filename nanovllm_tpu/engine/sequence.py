@@ -34,6 +34,9 @@ class Sequence:
         self.num_prompt_tokens: int = len(token_ids)
         self.num_cached_tokens: int = 0  # prefix-cache hits (tokens whose KV is reused)
         self.block_table: list[int] = []
+        # Leading block-table entries released by the sliding-window recycler
+        # (block_manager.release_behind_window) — placeholders, not live ids.
+        self.num_released_blocks: int = 0
         self.sampling_params = sampling_params
         self.block_size = block_size
         self.slot: Optional[int] = None  # decode batch lane while RUNNING

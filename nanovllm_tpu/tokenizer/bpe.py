@@ -215,7 +215,7 @@ def _load_special_tokens(model_dir: str) -> tuple[dict[str, int], int, int | Non
     return specials, eos_id, bos_id
 
 
-def load_native_tokenizer(model_dir: str) -> BPETokenizer:
+def load_native_tokenizer(model_dir: str):
     specials, eos_id, bos_id = _load_special_tokens(model_dir)
     tok_json = os.path.join(model_dir, "tokenizer.json")
     vocab_path = os.path.join(model_dir, "vocab.json")
@@ -225,6 +225,17 @@ def load_native_tokenizer(model_dir: str) -> BPETokenizer:
         with open(tok_json) as f:
             tj = json.load(f)
         model = tj.get("model", {})
+        mtype = model.get("type", "BPE")
+        if mtype == "Unigram":
+            from nanovllm_tpu.tokenizer.unigram import load_unigram_from_tokenizer_json
+
+            return load_unigram_from_tokenizer_json(model_dir, specials, eos_id, bos_id)
+        if mtype not in ("BPE",):
+            raise ValueError(
+                f"tokenizer.json model type {mtype!r} is not supported natively "
+                "(BPE and Unigram are); install the `tokenizers` library to use "
+                "this checkpoint via load_tokenizer()'s fast path"
+            )
         vocab = model.get("vocab", {})
         merges_raw = model.get("merges", [])
         merges = [tuple(m.split(" ", 1)) if isinstance(m, str) else tuple(m) for m in merges_raw]

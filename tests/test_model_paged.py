@@ -163,3 +163,34 @@ def test_prefix_cache_skips_compute_but_matches():
     assert out1.token_ids == out2.token_ids
     assert pre_tokens_2 < pre_tokens_1  # cached prefix skipped compute
     assert llm.engine.metrics["cached_prompt_tokens"] >= 2 * BS
+
+
+def test_slot_reuse_resets_history():
+    """A sequence that finishes mid-burst leaves overshoot tokens in its
+    history lane; the next occupant of that slot must see none of them
+    (VERDICT r1 weak #5). Output with a 'dirty' slot must equal output from
+    a fresh engine."""
+    cfg = tiny_cfg()
+
+    def make():
+        ecfg = EngineConfig(
+            max_num_batched_tokens=4096, max_num_seqs=2, max_model_len=128,
+            kv_block_size=BS, max_decode_slots=2, min_prefill_bucket=16,
+            num_kv_blocks=32, eos_token_id=0, decode_burst=4,
+        )
+        return LLM(model_config=cfg, engine_config=ecfg)
+
+    # Repetition penalty makes sampling history-sensitive: any leaked tokens
+    # from the previous slot occupant would change the output.
+    sp = SamplingParams(
+        temperature=0.0, repetition_penalty=1.3, max_tokens=10, ignore_eos=True
+    )
+    llm = make()
+    # First request: max_tokens=10 with burst=4 -> finishes mid-burst (trim).
+    first = llm.generate([[5, 6, 7]], sp)[0]
+    assert len(first.token_ids) == 10
+    # Second request reuses slot 0 (only slot candidates: free list).
+    probe = [21, 22, 23, 24]
+    dirty = llm.generate([probe], sp)[0]
+    fresh = make().generate([probe], sp)[0]
+    assert dirty.token_ids == fresh.token_ids
