@@ -30,6 +30,7 @@ def main(argv=None):
     ap.add_argument("--temp", type=float, default=0.0)
     ap.add_argument("--max-num-seqs", type=int, default=16)
     ap.add_argument("--quantization", default="none", choices=["none", "int8", "int4"])
+    ap.add_argument("--tensor-parallel-size", type=int, default=1)
     args = ap.parse_args(argv)
     if not args.model_dir:
         print("set MODEL_DIR or pass --model-dir", file=sys.stderr)
@@ -43,7 +44,8 @@ def main(argv=None):
     llm = LLM(
         model=args.model_dir,
         engine_config=EngineConfig(
-            max_num_seqs=args.max_num_seqs, quantization=args.quantization
+            max_num_seqs=args.max_num_seqs, quantization=args.quantization,
+            tensor_parallel_size=args.tensor_parallel_size,
         ),
     )
     sp = SamplingParams(temperature=args.temp, max_tokens=args.max_tokens)

@@ -41,7 +41,12 @@ class LLM:
             from nanovllm_tpu.io.loader import load_model_dir
             from nanovllm_tpu.tokenizer import load_tokenizer
 
-            mcfg, params = load_model_dir(model, quantization=ecfg.quantization)
+            # Sharded runs load host-side so each device receives only its
+            # own shards (no full replicated staging copy in HBM).
+            sharded = ecfg.tensor_parallel_size * ecfg.data_parallel_size > 1
+            mcfg, params = load_model_dir(
+                model, quantization=ecfg.quantization, device=not sharded
+            )
             if tokenizer is None:
                 tokenizer = load_tokenizer(model)
 
@@ -57,10 +62,26 @@ class LLM:
                 # Mamba2 state is not block-addressable; prefix reuse would
                 # skip state-building prefill compute. Disable for hybrids.
                 ecfg = ecfg.replace(enable_prefix_caching=False)
+            if mcfg.sliding_window and ecfg.enable_prefix_caching:
+                # Window recycling frees blocks behind the window, breaking
+                # the chained prefix hashes those blocks anchor.
+                ecfg = ecfg.replace(enable_prefix_caching=False)
             if ecfg.eos_token_id < 0:
                 ecfg = ecfg.replace(eos_token_id=mcfg.eos_token_ids[0])
             if runner is None:
-                runner = TPUModelRunner(mcfg, ecfg, params=params)
+                # tensor_parallel_size/data_parallel_size are LIVE here: they
+                # build the device mesh the runner shards over (the reference
+                # carried a TensorParallelSize field that nothing ever read —
+                # /root/reference/nanovllm/config.go:15, SURVEY.md §2).
+                mesh = None
+                if ecfg.tensor_parallel_size * ecfg.data_parallel_size > 1:
+                    from nanovllm_tpu.parallel import make_mesh
+
+                    mesh = make_mesh(
+                        tp_size=ecfg.tensor_parallel_size,
+                        dp_size=ecfg.data_parallel_size,
+                    )
+                runner = TPUModelRunner(mcfg, ecfg, params=params, mesh=mesh)
 
         self.engine = LLMEngine(mcfg, ecfg, runner=runner, tokenizer=tokenizer)
         self.model_config = mcfg

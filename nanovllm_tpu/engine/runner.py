@@ -141,6 +141,10 @@ class TPUModelRunner:
         self.mamba_state = (
             mamba_ops.create_mamba_state(model_cfg, S) if model_cfg.is_hybrid else None
         )
+        if mesh is not None and self.mamba_state is not None:
+            from nanovllm_tpu.parallel import shard_mamba_state
+
+            self.mamba_state = shard_mamba_state(self.mamba_state, mesh)
 
         # On-device sampling state, one row per decode slot. Device arrays are
         # authoritative inside the fused decode step; host mirrors exist so
@@ -164,10 +168,39 @@ class TPUModelRunner:
         }
         self.step_counter = 0
 
+        # Under a mesh, every step input becomes a GLOBAL replicated array
+        # (device_put with a NamedSharding spanning the mesh) — required for
+        # multi-controller SPMD, harmless single-host. Persistent device state
+        # (history, sampling rows) is placed replicated once at init.
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._rep = NamedSharding(mesh, PartitionSpec())
+            self.history = jax.device_put(self.history, self._rep)
+            self.d_sampling = {
+                k: jax.device_put(v, self._rep) for k, v in self.d_sampling.items()
+            }
+        else:
+            self._rep = None
+
         self.max_blocks_per_seq = math.ceil(engine_cfg.max_model_len / bs)
         self._prefill_cache: dict = {}
         self._decode_cache: dict = {}
-        self._sample_fn = jax.jit(sampling_ops.sample)
+        if self._rep is not None:
+            rep = self._rep
+
+            def _sample_rep(*a):
+                return jax.lax.with_sharding_constraint(sampling_ops.sample(*a), rep)
+
+            self._sample_fn = jax.jit(_sample_rep)
+        else:
+            self._sample_fn = jax.jit(sampling_ops.sample)
+
+    def _dev(self, x):
+        """Host value -> device array (global replicated when on a mesh)."""
+        if self._rep is None:
+            return jnp.asarray(x)
+        return jax.device_put(np.asarray(x), self._rep)
 
     # ---- compiled-program factories -------------------------------------
 
@@ -198,6 +231,7 @@ class TPUModelRunner:
             cfg = self.mcfg
             bs = self.ecfg.kv_block_size
             Lh = self.hist_capacity
+            rep = self._rep
 
             nslots = self.num_slots_flat
 
@@ -241,6 +275,10 @@ class TPUModelRunner:
                 )
                 sampling_out = dict(sampling)
                 sampling_out["hist_lens"] = hist_lens
+                if rep is not None:
+                    # Multi-controller: sampled tokens must be fully
+                    # replicated so every process can device_get them.
+                    ys = jax.lax.with_sharding_constraint(ys, rep)
                 return ys, pool, mamba_state, history, sampling_out
 
             self._decode_cache[key] = jax.jit(fn, donate_argnums=(6, 7, 8, 9))
@@ -285,9 +323,9 @@ class TPUModelRunner:
         fn = self._get_prefill_batch(Nb, Tb, nb)
         logits, self.pool = fn(
             self.params,
-            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(valid_lens),
-            jnp.asarray(context_lens), jnp.asarray(block_tables),
-            jnp.asarray(slot_mapping.reshape(-1)), self.pool,
+            self._dev(tokens), self._dev(positions), self._dev(valid_lens),
+            self._dev(context_lens), self._dev(block_tables),
+            self._dev(slot_mapping.reshape(-1)), self.pool,
         )
         return [logits[i] for i in range(n)]
 
@@ -312,15 +350,15 @@ class TPUModelRunner:
         fn = self._get_prefill(Tb, nb)
         logits, self.pool, new_mamba = fn(
             self.params,
-            jnp.asarray(tokens),
-            jnp.asarray(positions),
-            jnp.int32(T_real),
-            jnp.int32(len(seq)),
-            jnp.asarray(block_table),
-            jnp.asarray(slot_mapping),
+            self._dev(tokens),
+            self._dev(positions),
+            self._dev(np.int32(T_real)),
+            self._dev(np.int32(len(seq))),
+            self._dev(block_table),
+            self._dev(slot_mapping),
             self.pool,
             self.mamba_state,
-            jnp.int32(seq.slot if seq.slot is not None else 0),
+            self._dev(np.int32(seq.slot if seq.slot is not None else 0)),
         )
         if self.mamba_state is not None:
             self.mamba_state = new_mamba
@@ -337,7 +375,7 @@ class TPUModelRunner:
         row = np.full((self.history.shape[1],), self.mcfg.vocab_size, np.int32)
         row[: len(seq)] = seq.token_ids
         self.h_hist_lens[s] = len(seq)
-        self.history = self.history.at[s].set(jnp.asarray(row))
+        self.history = self.history.at[s].set(self._dev(row))
         d = self.d_sampling
         self.d_sampling = {
             "temps": d["temps"].at[s].set(sp.temperature),
@@ -351,9 +389,10 @@ class TPUModelRunner:
     # ---- public API ------------------------------------------------------
 
     def run(self, seqs: list[Sequence], is_prefill: bool) -> list[int]:
-        if is_prefill:
-            return self._run_prefill(seqs)
-        return self._run_decode(seqs)
+        if self.mesh is not None:
+            with self.mesh:
+                return self._run_prefill(seqs) if is_prefill else self._run_decode(seqs)
+        return self._run_prefill(seqs) if is_prefill else self._run_decode(seqs)
 
     PREFILL_GROUP_TOKEN_BUDGET = 4096  # padded tokens per batched dispatch
 
@@ -393,8 +432,8 @@ class TPUModelRunner:
 
     def _sync_hist_lens_to_device(self, slots: list[int]) -> None:
         d = self.d_sampling
-        idx = jnp.asarray(np.array(slots, np.int32))
-        vals = jnp.asarray(self.h_hist_lens[slots])
+        idx = self._dev(np.array(slots, np.int32))
+        vals = self._dev(self.h_hist_lens[slots])
         self.d_sampling = {**d, "hist_lens": d["hist_lens"].at[idx].set(vals)}
 
     def _run_decode(self, seqs: list[Sequence]) -> list[list[int]]:
@@ -421,16 +460,16 @@ class TPUModelRunner:
         self.step_counter += n_steps
         ys, self.pool, new_mamba, self.history, self.d_sampling = fn(
             self.params,
-            jnp.asarray(tokens),
-            jnp.asarray(positions),
-            jnp.asarray(context_lens),
-            jnp.asarray(active),
-            jnp.asarray(block_tables),
+            self._dev(tokens),
+            self._dev(positions),
+            self._dev(context_lens),
+            self._dev(active),
+            self._dev(block_tables),
             self.pool,
             self.mamba_state,
             self.history,
             self.d_sampling,
-            jnp.int32(step0),
+            self._dev(np.int32(step0)),
         )
         if self.mamba_state is not None:
             self.mamba_state = new_mamba
@@ -438,31 +477,36 @@ class TPUModelRunner:
         out = []
         for seq in seqs:
             out.append([int(t) for t in ys[:, seq.slot]])
+            # Advancing by the full burst is exact for every sequence that
+            # keeps running: postprocess only trims a burst when a stop
+            # condition fires, and then the sequence FINISHES and frees its
+            # slot — _setup_slot rebuilds history/hist_lens from scratch when
+            # the slot is reused (regression: test_slot_reuse_resets_history).
             self.h_hist_lens[seq.slot] += n_steps
         return out
 
     def _sample_for(self, logits: jnp.ndarray, slots: np.ndarray) -> np.ndarray:
         self.step_counter += 1
-        hist = self.history[jnp.asarray(slots)]
+        hist = self.history[self._dev(slots)]
         toks = self._sample_fn(
             logits.astype(jnp.float32),
             hist,
-            jnp.asarray(self.h_hist_lens[slots]),
-            jnp.asarray(self.h_temps[slots]),
-            jnp.asarray(self.h_topks[slots]),
-            jnp.asarray(self.h_topps[slots]),
-            jnp.asarray(self.h_reps[slots]),
-            jnp.asarray(self.h_seeds[slots]),
-            jnp.int32(self.step_counter),
+            self._dev(self.h_hist_lens[slots]),
+            self._dev(self.h_temps[slots]),
+            self._dev(self.h_topks[slots]),
+            self._dev(self.h_topps[slots]),
+            self._dev(self.h_reps[slots]),
+            self._dev(self.h_seeds[slots]),
+            self._dev(np.int32(self.step_counter)),
         )
         return np.asarray(jax.device_get(toks))
 
     def _append_history(self, seqs: list[Sequence], tokens: list[int]) -> None:
         if not seqs:
             return
-        slots = jnp.asarray(np.array([s.slot for s in seqs], np.int32))
-        lens = jnp.asarray(self.h_hist_lens[[s.slot for s in seqs]])
-        vals = jnp.asarray(np.array(tokens, np.int32))
+        slots = self._dev(np.array([s.slot for s in seqs], np.int32))
+        lens = self._dev(self.h_hist_lens[[s.slot for s in seqs]])
+        vals = self._dev(np.array(tokens, np.int32))
         self.history = self.history.at[slots, lens].set(vals)
         for s in seqs:
             self.h_hist_lens[s.slot] += 1

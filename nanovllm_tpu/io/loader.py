@@ -377,35 +377,49 @@ def quantize_params(params: dict, mode: str) -> dict:
 
 def load_model_dir(
     model_dir: str, dtype: str = "bfloat16", quantization: str = "none",
-    use_quant_cache: bool = True,
+    use_quant_cache: bool = True, device: bool = True,
 ) -> tuple[ModelConfig, dict]:
     """Load config + weights from an HF-format directory; returns
-    (ModelConfig, device params). Reference: LoadModelFromDirectory
+    (ModelConfig, params). Reference: LoadModelFromDirectory
     (generic_loader.go:1016-1039). Quantized weights are pre-packed to a
     sidecar cache (<dir>/.nv_quant_<mode>.pkl) so reloads skip
-    re-quantization (SURVEY.md §5 checkpoint/resume)."""
+    re-quantization (SURVEY.md §5 checkpoint/resume).
+
+    device=False keeps the params as a host numpy pytree — the sharded-runner
+    path uses this so each host/device materializes only its own shards in
+    device memory (shard_params' device_put transfers addressable shards
+    only) instead of first staging a full replicated copy in HBM."""
     import pickle
 
     from nanovllm_tpu.models.model import to_device_params
 
     hf_cfg = load_hf_config(model_dir)
+    # model_info.json overrides (written by cli/download_model; the reference
+    # generic_loader reads it too): eos/bos and model_type trump config.json
+    # when the export script recorded them explicitly.
+    info_path = os.path.join(model_dir, "model_info.json")
+    if os.path.exists(info_path):
+        with open(info_path) as f:
+            info = json.load(f)
+        for key in ("eos_token_id", "bos_token_id", "model_type"):
+            if info.get(key) is not None:
+                hf_cfg[key] = info[key]
     cfg = model_config_from_hf(hf_cfg, dtype=dtype)
+
+    def finish(params):
+        # device=False still applies the dtype policy, host-side, so the
+        # sharded path transfers bf16 shards (not fp32) straight to devices.
+        return cfg, to_device_params(params, cfg, device=device)
 
     cache_path = os.path.join(model_dir, f".nv_quant_{quantization}.pkl")
     if quantization != "none" and use_quant_cache and os.path.exists(cache_path):
         with open(cache_path, "rb") as f:
-            return cfg, to_device_params(pickle.load(f), cfg)
+            return finish(pickle.load(f))
 
     sd = read_safetensors_dir(model_dir)
     converter = CONVERTERS[cfg.model_type]
     params = converter(sd, cfg)
     params["rope_inv_freq"] = compute_inv_freq(cfg.rotary_dim, cfg.rope_theta, cfg.rope_scaling)
-    # model_info.json overrides (written by cli/download_model;
-    # reference generic_loader reads it too).
-    info_path = os.path.join(model_dir, "model_info.json")
-    if os.path.exists(info_path):
-        with open(info_path) as f:
-            json.load(f)  # validated; currently informational only
     params = quantize_params(params, quantization)
     if quantization != "none" and use_quant_cache:
         try:
@@ -413,4 +427,4 @@ def load_model_dir(
                 pickle.dump(params, f)
         except OSError:
             pass
-    return cfg, to_device_params(params, cfg)
+    return finish(params)

@@ -158,18 +158,22 @@ FP32_PARAM_NAMES = (
 )
 
 
-def to_device_params(params, cfg: ModelConfig):
+def to_device_params(params, cfg: ModelConfig, device: bool = True):
     """Cast float weights to cfg.dtype (norm scales / biases / rope tables /
-    quantization scales stay fp32) and move to device arrays."""
+    quantization scales stay fp32) and move to device arrays. device=False
+    performs the same casts host-side (numpy + ml_dtypes bf16) so a sharded
+    device_put can transfer each host's shards directly without staging a
+    full replicated copy on device first."""
     from nanovllm_tpu.ops.quant import QuantLinear
 
     dt = jnp.dtype(cfg.dtype)
+    mk = jnp.asarray if device else np.asarray
 
     def leaf(x, keep_fp32: bool):
         x = np.asarray(x) if not isinstance(x, jnp.ndarray) else x
         if keep_fp32 or x.dtype.kind in "iu":
-            return jnp.asarray(x)
-        return jnp.asarray(x, dtype=dt)
+            return mk(x)
+        return mk(x, dtype=dt) if device else np.asarray(x).astype(dt)
 
     def walk(node, name=""):
         if isinstance(node, QuantLinear):
@@ -520,3 +524,171 @@ def decode_step(
 
     logits = _lm_logits(cfg, params, x)
     return logits, pool, mamba_state
+
+
+# ---------------------------------------------------------------------------
+# Burst-deferred decode: the whole multi-step burst runs WITHOUT touching the
+# pool — each layer's per-step K/V goes into a small VMEM-sized stash, the
+# attention scores the (static) pool context plus the stash, and the pool
+# receives ONE scatter per burst at flush time. Kills the per-step scatter
+# tax (VERDICT r1: XLA's row-serialized KV scatter was ~56% of decode device
+# time) and lets the context gather hoist out of the step loop entirely.
+# ---------------------------------------------------------------------------
+
+
+def create_burst_stash(cfg: ModelConfig, n_steps: int, B: int) -> dict:
+    shape = (cfg.num_layers, n_steps, B, cfg.num_kv_heads * cfg.head_dim)
+    dt = jnp.dtype(cfg.dtype)
+    return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
+
+
+def pregather_context(
+    cfg: ModelConfig,
+    pool: dict,
+    block_tables: jnp.ndarray,  # [B, nb]
+    block_size: int,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Gather every attention layer's context KV in one take:
+    returns k, v of shape [L, B, S, Hkv, D] (dequantized if INT8 pool).
+    The burst's context is static, so this runs once per burst instead of
+    once per (layer, step)."""
+    L = cfg.num_layers
+    bs = block_size
+    nslots = pool["k"].shape[0] // L
+    B, nb = block_tables.shape
+    S = nb * bs
+    slots = block_tables[:, :, None] * bs + jnp.arange(bs, dtype=block_tables.dtype)[None, None, :]
+    slots = slots.reshape(1, B, S) + (jnp.arange(L, dtype=jnp.int32) * nslots)[:, None, None]
+    Hkv, D = cfg.num_kv_heads, cfg.head_dim
+    dt = jnp.dtype(cfg.dtype)
+    k = jnp.take(pool["k"], slots, axis=0).reshape(L, B, S, Hkv, D)
+    v = jnp.take(pool["v"], slots, axis=0).reshape(L, B, S, Hkv, D)
+    if pool["k"].dtype == jnp.int8:
+        ks = jnp.take(pool["k_scale"], slots, axis=1)  # [Hkv, L, B, S]
+        vs = jnp.take(pool["v_scale"], slots, axis=1)
+        k = k.astype(jnp.float32) * ks.transpose(1, 2, 3, 0)[..., None]
+        v = v.astype(jnp.float32) * vs.transpose(1, 2, 3, 0)[..., None]
+    return k.astype(dt), v.astype(dt)
+
+
+def decode_step_burst(
+    params: dict,
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,        # [B] int32
+    positions: jnp.ndarray,     # [B] int32 (= ctx0 - 1 + i for active lanes)
+    ctx0: jnp.ndarray,          # [B] int32 context length at burst START
+    step_idx,                   # scalar int32 burst step i
+    block_tables: jnp.ndarray,  # [B, nb] int32
+    pool: dict,                 # READ-ONLY here (pre-burst contents)
+    stash: dict,                # carried burst K/V {k, v: [L, n_steps, B, Hkv*D]}
+    mamba_state: dict | None = None,
+    block_size: int = 16,
+    k_ctx_pre: jnp.ndarray | None = None,  # [L, B, S, Hkv, D] hoisted gather
+    v_ctx_pre: jnp.ndarray | None = None,
+):
+    """One decode step of a deferred burst; returns (logits, stash,
+    mamba_state). The pool is not written — call flush_burst_stash after the
+    burst's last step."""
+    from nanovllm_tpu.ops.attention import attention_decode_stashed
+
+    x = _embed(cfg, params, tokens, positions)
+    nslots = pool["k"].shape[0] // cfg.num_layers
+    cos_sin = None
+    if cfg.position_type == PositionType.ROPE:
+        cos_sin = rope_cos_sin(positions, params["rope_inv_freq"])
+
+    def attn_layer(blk, x, stash, layer, use_rope):
+        h = apply_norm(blk["ln1"], x, cfg.norm_eps)
+        B = h.shape[0]
+        q, k, v = _qkv(cfg, blk["attn"], h)
+        if cos_sin is not None and use_rope:
+            q = apply_rope(q, *cos_sin)
+            k = apply_rope(k, *cos_sin)
+        dt = stash["k"].dtype
+        stash = {
+            "k": stash["k"].at[layer, step_idx].set(k.reshape(B, -1).astype(dt)),
+            "v": stash["v"].at[layer, step_idx].set(v.reshape(B, -1).astype(dt)),
+        }
+        if k_ctx_pre is not None:
+            k_ctx, v_ctx = k_ctx_pre[layer], v_ctx_pre[layer]
+        else:
+            k_ctx, v_ctx = kvc.kv_gather(
+                pool, layer, nslots, block_tables, block_size, cfg.num_kv_heads, dtype=x.dtype
+            )
+        J = stash["k"].shape[1]
+        sk = stash["k"][layer].reshape(J, B, cfg.num_kv_heads, cfg.head_dim)
+        sv = stash["v"][layer].reshape(J, B, cfg.num_kv_heads, cfg.head_dim)
+        attn = attention_decode_stashed(
+            q, k_ctx, v_ctx, sk, sv, ctx0, step_idx, cfg.attn_scale, cfg.sliding_window
+        )
+        attn_out = linear(blk["attn"]["o"], attn.reshape(B, -1))
+        if cfg.block_style == BlockStyle.PARALLEL:
+            h2 = h if cfg.parallel_single_ln else apply_norm(blk["ln2"], x, cfg.norm_eps)
+            x = _residual_add(cfg, x, attn_out + _ffn_forward(cfg, blk, h2))
+        else:
+            x = _residual_add(cfg, x, attn_out)
+            h2 = apply_norm(blk["ln2"], x, cfg.norm_eps)
+            x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h2))
+        return x, stash
+
+    if not isinstance(params["blocks"], list):
+        def body(carry, inp):
+            x, stash = carry
+            blk, i = inp
+            x, stash = attn_layer(blk, x, stash, i, _use_rope(cfg, 0))
+            return (x, stash), None
+
+        (x, stash), _ = jax.lax.scan(
+            body, (x, stash), (params["blocks"], jnp.arange(cfg.num_layers, dtype=jnp.int32))
+        )
+    else:
+        for i, blk in enumerate(params["blocks"]):
+            if cfg.layer_kind(i) == LayerKind.MAMBA2:
+                h = apply_norm(blk["ln1"], x, cfg.norm_eps)
+                h, mamba_state = mamba_ops.mamba2_decode(cfg, blk["mamba"], h, mamba_state, i)
+                x = _residual_add(cfg, x, h)
+                h = apply_norm(blk["ln2"], x, cfg.norm_eps)
+                x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h))
+                continue
+            x, stash = attn_layer(blk, x, stash, i, _use_rope(cfg, i))
+
+    logits = _lm_logits(cfg, params, x)
+    return logits, stash, mamba_state
+
+
+def flush_burst_stash(
+    pool: dict,
+    cfg: ModelConfig,
+    stash: dict,                # {k, v: [L, J, B, Hkv*D]}
+    block_tables: jnp.ndarray,  # [B, nb]
+    positions0: jnp.ndarray,    # [B] position of the burst's FIRST token
+    active: jnp.ndarray,        # [B] bool
+    block_size: int,
+) -> dict:
+    """Write the whole burst's K/V into the pool with ONE scatter per tensor
+    (every layer, step and lane at once)."""
+    L, J, B, HD = stash["k"].shape
+    bs = block_size
+    nslots = pool["k"].shape[0] // L
+    total = pool["k"].shape[0]
+    pos = positions0[None, :] + jnp.arange(J, dtype=jnp.int32)[:, None]  # [J, B]
+    blk = jnp.take_along_axis(block_tables, (pos // bs).T, axis=1).T  # [J, B]
+    rows = blk * bs + pos % bs  # per-layer slot ids [J, B]
+    rows = jnp.where(active[None, :], rows, nslots)
+    rows_all = rows[None, :, :] + (jnp.arange(L, dtype=jnp.int32) * nslots)[:, None, None]
+    rows_all = jnp.where(rows[None, :, :] >= nslots, total, rows_all).reshape(-1)
+    out = dict(pool)
+    if pool["k"].dtype == jnp.int8:
+        k = stash["k"].reshape(L * J * B, cfg.num_kv_heads, cfg.head_dim)
+        v = stash["v"].reshape(L * J * B, cfg.num_kv_heads, cfg.head_dim)
+        qk, sk = kvc._quantize_kv(k)
+        qv, sv = kvc._quantize_kv(v)
+        out["k"] = pool["k"].at[rows_all].set(qk.reshape(-1, HD), mode="drop")
+        out["v"] = pool["v"].at[rows_all].set(qv.reshape(-1, HD), mode="drop")
+        out["k_scale"] = pool["k_scale"].at[:, rows_all].set(sk.T, mode="drop")
+        out["v_scale"] = pool["v_scale"].at[:, rows_all].set(sv.T, mode="drop")
+    else:
+        dt = pool["k"].dtype
+        out["k"] = pool["k"].at[rows_all].set(stash["k"].reshape(-1, HD).astype(dt), mode="drop")
+        out["v"] = pool["v"].at[rows_all].set(stash["v"].reshape(-1, HD).astype(dt), mode="drop")
+    return out

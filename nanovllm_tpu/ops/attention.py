@@ -86,6 +86,49 @@ def attention_chunk_batched(
     return out.reshape(N, T, H, D).astype(q.dtype)
 
 
+def attention_decode_stashed(
+    q: jnp.ndarray,        # [B, H, D]
+    k_ctx: jnp.ndarray,    # [B, S, Hkv, D] pool context (positions < ctx0-1 valid)
+    v_ctx: jnp.ndarray,    # [B, S, Hkv, D]
+    stash_k: jnp.ndarray,  # [n_steps, B, Hkv, D] burst K (step j = position ctx0-1+j)
+    stash_v: jnp.ndarray,  # [n_steps, B, Hkv, D]
+    ctx0: jnp.ndarray,     # [B] int32 context length at burst start (incl. 1st burst token)
+    step_idx,              # scalar int32: current burst step i
+    scale: float,
+    sliding_window: int = 0,
+) -> jnp.ndarray:
+    """Decode attention for burst-deferred KV writes: the pool gather holds
+    pre-burst context only; the burst's own K/V live in the stash and are
+    scored separately, with one softmax over the concatenated scores. Exactly
+    equivalent to attention_decode over a pool containing the burst rows —
+    but the pool scatter happens ONCE per burst (flush) instead of per step.
+    Returns [B, H, D]."""
+    B, S = k_ctx.shape[0], k_ctx.shape[1]
+    Hkv = k_ctx.shape[-2]
+    J = stash_k.shape[0]
+    qg = _grouped(q, Hkv).astype(jnp.float32)  # [B, Hkv, G, D]
+    s_ctx = jnp.einsum("bhgd,bshd->bhgs", qg, k_ctx.astype(jnp.float32)) * scale
+    s_stash = jnp.einsum("bhgd,jbhd->bhgj", qg, stash_k.astype(jnp.float32)) * scale
+
+    pos = jnp.arange(S, dtype=jnp.int32)[None, :]  # [1, S]
+    ctx_mask = pos < (ctx0[:, None] - 1)           # pool holds positions < ctx0-1
+    jj = jnp.arange(J, dtype=jnp.int32)[None, :]
+    stash_mask = jj <= step_idx                    # causal within the burst
+    if sliding_window > 0:
+        q_pos = ctx0[:, None] - 1 + step_idx
+        ctx_mask &= pos > q_pos - sliding_window
+        stash_mask = stash_mask & (jj > step_idx - sliding_window)
+    s_ctx = jnp.where(ctx_mask[:, None, None, :], s_ctx, NEG_INF)
+    s_stash = jnp.where(stash_mask[:, None, None, :], s_stash, NEG_INF)
+
+    scores = jnp.concatenate([s_ctx, s_stash], axis=-1)  # [B, Hkv, G, S+J]
+    probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    out = jnp.einsum("bhgs,bshd->bhgd", probs[..., :S], v_ctx.astype(jnp.float32))
+    out += jnp.einsum("bhgj,jbhd->bhgd", probs[..., S:], stash_v.astype(jnp.float32))
+    return out.reshape(B, q.shape[1], -1).astype(q.dtype)
+
+
 def attention_decode(
     q: jnp.ndarray,  # [B, H, D]
     k_ctx: jnp.ndarray,  # [B, S, Hkv, D] gathered from the pool

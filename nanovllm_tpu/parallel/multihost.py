@@ -85,3 +85,121 @@ class RequestLog:
             self.entries.extend(tail)
         self._synced = len(self.entries)
         return tail
+
+
+class MultiHostLLM:
+    """Replicated-scheduler multi-host serving driver (SURVEY.md §7-M6).
+
+    Every process constructs this collectively with IDENTICAL configs; each
+    builds the same `LLM` engine over the same global mesh (TP/EP shards ride
+    ICI within a slice, the replicated batch rides DCN). Requests enter at
+    host 0 (`add_request`); each `step()` first syncs the request log so all
+    hosts enqueue the identical request stream, then runs the identical
+    deterministic scheduler, so every host dispatches the same SPMD program.
+    Outputs are computed identically on every host (sampled tokens come from
+    the same deterministic device program) — host 0 is conventionally the one
+    that surfaces them to users.
+
+    Determinism invariants (all enforced by construction):
+      - sequence ids: every host creates Sequences in log order only;
+      - scheduling: depends only on (config, request log);
+      - sampling: seeds derive from request seed / sequence id, never host RNG.
+    """
+
+    def __init__(
+        self,
+        model: Optional[str] = None,
+        engine_config=None,
+        model_config=None,
+        params=None,
+        tokenizer=None,
+    ):
+        from nanovllm_tpu.config import EngineConfig
+        from nanovllm_tpu.engine.llm import LLM
+
+        self.process_id = jax.process_index()
+        self.num_processes = jax.process_count()
+        ecfg = engine_config or EngineConfig()
+        if ecfg.tensor_parallel_size * ecfg.data_parallel_size <= 1:
+            # Default: TP over every chip in the job.
+            ecfg = ecfg.replace(tensor_parallel_size=len(jax.devices()))
+        # The facade builds the global mesh from tensor/data_parallel_size and
+        # loads checkpoints host-side so each process materializes only its
+        # addressable shards in device memory.
+        self.llm = LLM(
+            model=model, engine_config=ecfg, model_config=model_config,
+            params=params, tokenizer=tokenizer,
+        )
+        self.mesh = self.llm.engine.runner.mesh
+        self.engine = self.llm.engine
+        self.log = RequestLog()
+        self._arrival_order: list[int] = []  # seq ids in log order (all hosts)
+
+    # -- request intake (host 0) ------------------------------------------
+
+    def add_request(self, prompt, sampling_params) -> None:
+        """Host 0 only: tokenize (if str) and append to the shared log. The
+        request reaches every host's engine at the next step()."""
+        assert self.process_id == 0, "requests enter at host 0"
+        token_ids = (
+            self.engine.tokenizer.encode(prompt) if isinstance(prompt, str) else list(prompt)
+        )
+        self.log.append(token_ids, _sp_to_dict(sampling_params))
+
+    # -- collective step loop ---------------------------------------------
+
+    def step(self):
+        """Collective: sync the request log, enqueue new requests, run one
+        engine step. Every host must call this the same number of times."""
+        for token_ids, sp_dict in self.log.sync():
+            sid = self.engine.add_request(token_ids, _sp_from_dict(sp_dict))
+            self._arrival_order.append(sid)
+        return self.engine.step()
+
+    def is_finished(self) -> bool:
+        return self.engine.is_finished()
+
+    def generate(self, prompts=None, sampling_params=None):
+        """Collective batch generation. Host 0 passes prompts/params; other
+        hosts pass None and participate in the step loop. Returns outputs in
+        request order on every host."""
+        from nanovllm_tpu.sampling_params import SamplingParams
+
+        if self.process_id == 0:
+            assert prompts is not None
+            sps = sampling_params or SamplingParams()
+            if isinstance(sps, SamplingParams):
+                sps = [sps] * len(prompts)
+            for p, sp in zip(prompts, sps):
+                self.add_request(p, sp)
+        outputs = {}
+        n_expected = broadcast_payload(
+            len(prompts) if self.process_id == 0 else None, self.process_id == 0
+        )
+        while len(outputs) < n_expected:
+            for out in self.step():
+                outputs[out.seq_id] = out
+        order = {sid: i for i, sid in enumerate(self._arrival_order[-n_expected:])}
+        results = [None] * n_expected
+        for sid, out in outputs.items():
+            results[order[sid]] = out
+        return results
+
+    def close(self):
+        self.llm.close()
+
+
+def _sp_to_dict(sp) -> dict:
+    import dataclasses
+
+    d = dataclasses.asdict(sp)
+    d["stop_token_ids"] = list(d.get("stop_token_ids") or ())
+    return d
+
+
+def _sp_from_dict(d: dict):
+    from nanovllm_tpu.sampling_params import SamplingParams
+
+    d = dict(d)
+    d["stop_token_ids"] = tuple(d.get("stop_token_ids") or ())
+    return SamplingParams(**d)
