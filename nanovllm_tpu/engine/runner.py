@@ -284,6 +284,105 @@ class TPUModelRunner:
             self._decode_cache[key] = jax.jit(fn, donate_argnums=(6, 7, 8, 9))
         return self._decode_cache[key]
 
+    # Pregathering every layer's context once per burst (instead of per step)
+    # amortizes the page gather + INT8 dequant across the burst, at the cost
+    # of holding [L, B, S, Hkv, D] x2 live in HBM. Auto-capped by size.
+    # Measured (Llama-1B bench, 32 lanes, burst 16): per-step 4,265 tok/s;
+    # deferred WITHOUT pregather 4,017 (regression — per-step gathers inside
+    # the burst plus stash scoring lose); deferred WITH pregather 6,388.
+    # Hence auto-defer requires the pregather to fit the cap.
+    PREGATHER_BYTE_CAP = 512 << 20
+
+    def _pregather_fits(self, nb: int) -> bool:
+        import os
+
+        if os.environ.get("NANOVLLM_PREGATHER") in ("0", "1"):
+            return os.environ["NANOVLLM_PREGATHER"] == "1"
+        cfg = self.mcfg
+        pregather_bytes = (
+            2 * cfg.num_layers * self.S * nb * self.block_size
+            * cfg.num_kv_heads * cfg.head_dim * jnp.dtype(cfg.dtype).itemsize
+        )
+        return pregather_bytes <= self.PREGATHER_BYTE_CAP
+
+    def _get_decode_burst(self, nb: int, n_steps: int):
+        """Burst-deferred decode: n_steps of (forward + sampling) under one
+        lax.scan with the pool READ-ONLY — per-step K/V goes to a stash scored
+        alongside the pool context, and the pool takes ONE scatter at flush
+        (vs num_layers * n_steps row-serialized scatters per burst)."""
+        cfg = self.mcfg
+        bs = self.ecfg.kv_block_size
+        hoist = self._pregather_fits(nb)
+        key = ("burst", nb, n_steps, hoist)
+        if key not in self._decode_cache:
+            Lh = self.hist_capacity
+            rep = self._rep
+
+            def fn(params, tokens0, positions0, context_lens0, active, block_tables,
+                   pool, mamba_state, history, sampling, step0):
+                Sn = tokens0.shape[0]
+                lanes = jnp.arange(Sn)
+                stash = M.create_burst_stash(cfg, n_steps, Sn)
+                if hoist:
+                    k_pre, v_pre = M.pregather_context(cfg, pool, block_tables, bs)
+                else:
+                    k_pre = v_pre = None
+
+                def body(carry, i):
+                    tokens, positions, stash, mamba, history, hist_lens = carry
+                    logits, stash, mamba = M.decode_step_burst(
+                        params, cfg, tokens, positions, context_lens0, i,
+                        block_tables, pool, stash, mamba, bs, k_pre, v_pre,
+                    )
+                    sampled = sampling_ops.sample(
+                        logits.astype(jnp.float32), history, hist_lens,
+                        sampling["temps"], sampling["topks"], sampling["topps"],
+                        sampling["reps"], sampling["seeds"], step0 + i,
+                    )
+                    row = jnp.where(active, hist_lens, Lh)
+                    history = history.at[lanes, row].set(sampled, mode="drop")
+                    inc = active.astype(jnp.int32)
+                    carry = (sampled, positions + inc, stash, mamba, history, hist_lens + inc)
+                    return carry, sampled
+
+                init = (
+                    tokens0, positions0, stash, mamba_state, history,
+                    sampling["hist_lens"],
+                )
+                (tok, pos, stash, mamba_state, history, hist_lens), ys = jax.lax.scan(
+                    body, init, jnp.arange(n_steps, dtype=jnp.int32)
+                )
+                pool = M.flush_burst_stash(
+                    pool, cfg, stash, block_tables, positions0, active, bs
+                )
+                sampling_out = dict(sampling)
+                sampling_out["hist_lens"] = hist_lens
+                if rep is not None:
+                    ys = jax.lax.with_sharding_constraint(ys, rep)
+                return ys, pool, mamba_state, history, sampling_out
+
+            self._decode_cache[key] = jax.jit(fn, donate_argnums=(6, 7, 8, 9))
+        return self._decode_cache[key]
+
+    def _use_deferred_burst(self, nb: int, n_steps: int) -> bool:
+        import os
+
+        if os.environ.get("NANOVLLM_DEFER_KV") in ("0", "1"):
+            return os.environ["NANOVLLM_DEFER_KV"] == "1"
+        flag = self.ecfg.deferred_kv_writes
+        if flag is not None:
+            return flag
+        # Auto: defer whenever (a) the per-step path would ride the XLA gather
+        # anyway (the paged Pallas kernel reads pool rows the burst hasn't
+        # flushed yet, so the kernel path keeps per-step writes), and (b) the
+        # hoisted context pregather fits the HBM cap — deferred WITHOUT the
+        # pregather measures slower than the per-step path.
+        return (
+            n_steps > 1
+            and not M._paged_kernel_ok(nb * self.block_size)
+            and self._pregather_fits(nb)
+        )
+
     def _get_prefill_batch(self, N: int, T: int, nb: int):
         key = ("batch", N, T, nb)
         if key not in self._prefill_cache:
@@ -455,7 +554,10 @@ class TPUModelRunner:
             active[s] = True
             block_tables[s, : len(seq.block_table)] = seq.block_table
 
-        fn = self._get_decode(nb, n_steps)
+        if self._use_deferred_burst(nb, n_steps):
+            fn = self._get_decode_burst(nb, n_steps)
+        else:
+            fn = self._get_decode(nb, n_steps)
         step0 = self.step_counter
         self.step_counter += n_steps
         ys, self.pool, new_mamba, self.history, self.d_sampling = fn(
