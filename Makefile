@@ -3,7 +3,12 @@
 
 PY ?= python
 
-.PHONY: all test test-fast bench demo ask fmt vet clean native demo-capitals
+.PHONY: all test test-fast bench demo ask fmt vet clean native demo-capitals e2e
+
+# Real-checkpoint end-to-end on the current backend (tiny HF ckpts, all CLIs,
+# HF logit parity, dPPL gate). See scripts/e2e_real_ckpt.sh.
+e2e:
+	bash scripts/e2e_real_ckpt.sh
 
 all: test
 

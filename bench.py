@@ -56,7 +56,10 @@ def main():
         model_type="llama",
         eos_token_id=128001,
     )
-    B = int(os.environ.get("NANOVLLM_BENCH_LANES", "32"))   # decode lanes
+    # 64 lanes: the r1 sub-linear-scaling blocker was the per-step KV scatter;
+    # with burst-deferred writes B=64 measures 9,188 tok/s vs B=32's 6,388
+    # (B=128 regresses — pregather exceeds the HBM cap and falls per-step).
+    B = int(os.environ.get("NANOVLLM_BENCH_LANES", "64"))   # decode lanes
     PROMPT = int(os.environ.get("NANOVLLM_BENCH_PROMPT", "128"))
     DECODE = int(os.environ.get("NANOVLLM_BENCH_DECODE", "64"))
 

@@ -69,6 +69,8 @@ def main():
                 pickle.dump(params_np, f)
         except OSError:
             pass
+    # Post-quantization fusion is exactly equivalent (per-column scales).
+    params_np = M.fuse_qkv_params(params_np)
     params = M.to_device_params(params_np, cfg)
     log(f"weights ready in {time.time()-t0:.0f}s")
 

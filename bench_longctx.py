@@ -71,12 +71,14 @@ def main():
 
     m = eng.metrics
     decode_tok_s = m["decode_tokens"] / m["decode_time"] if m["decode_time"] else 0.0
-    log(f"decode@{PROMPT}ctx: {decode_tok_s:.1f} tok/s")
+    prefill_tok_s = m["prefill_tokens"] / m["prefill_time"] if m["prefill_time"] else 0.0
+    log(f"decode@{PROMPT}ctx: {decode_tok_s:.1f} tok/s | prefill: {prefill_tok_s:.1f} tok/s")
     print(json.dumps({
         "metric": f"llama1b bf16-weights int8-KV decode at {PROMPT}-token context (1 chip)",
         "value": round(decode_tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(decode_tok_s / 1.7, 2),
+        "prefill_tok_s": round(prefill_tok_s, 2),
     }), flush=True)
 
 

@@ -110,6 +110,13 @@ class ModelConfig:
     num_experts_per_tok: int = 0
     moe_intermediate_size: int = 0
     moe_router_renormalize: bool = True
+    # Capacity-bounded sorted dispatch (SURVEY §7 hard-part #4): each expert
+    # processes at most ceil(T*k/X * factor) tokens; overflow tokens lose that
+    # expert's contribution (standard capacity-drop semantics). 0.0 = the
+    # dense-combine path (every token through every expert, exact — fine for
+    # 8-32 experts). Use >= 1.0 for large expert counts under EP, where dense
+    # compute is X/k-fold waste.
+    moe_capacity_factor: float = 0.0
 
     # muP multipliers (Granite; reference generic_model.go:298-301,320-325,
     # 473-477 — NB logits are *divided* by logits_scaling).
@@ -239,6 +246,11 @@ class EngineConfig:
     # Llama-1B: scan variants 2.2-2.6k tok/s vs 3.4k unrolled) — XLA
     # schedules the unrolled layers better. Off by default.
     scan_layers: bool = False
+    # Fuse q/k/v projections into one matmul at load (one quant-kernel
+    # dispatch instead of three per layer; numerics-identical — per-column
+    # scales). Tri-state: None = auto (on unless sharded: TP splits q/k/v
+    # over heads separately), True/False force.
+    fuse_qkv: bool | None = None
     # KV cache quantization: "none" | "int8"
     kv_cache_dtype: str = "none"
     # Weight quantization: "none" | "int8" | "int4"

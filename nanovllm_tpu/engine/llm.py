@@ -44,8 +44,10 @@ class LLM:
             # Sharded runs load host-side so each device receives only its
             # own shards (no full replicated staging copy in HBM).
             sharded = ecfg.tensor_parallel_size * ecfg.data_parallel_size > 1
+            fuse = ecfg.fuse_qkv if ecfg.fuse_qkv is not None else not sharded
             mcfg, params = load_model_dir(
-                model, quantization=ecfg.quantization, device=not sharded
+                model, quantization=ecfg.quantization, device=not sharded,
+                fuse_qkv=fuse,
             )
             if tokenizer is None:
                 tokenizer = load_tokenizer(model)

@@ -291,7 +291,7 @@ class TPUModelRunner:
     # deferred WITHOUT pregather 4,017 (regression — per-step gathers inside
     # the burst plus stash scoring lose); deferred WITH pregather 6,388.
     # Hence auto-defer requires the pregather to fit the cap.
-    PREGATHER_BYTE_CAP = 512 << 20
+    PREGATHER_BYTE_CAP = 1 << 30
 
     def _pregather_fits(self, nb: int) -> bool:
         import os
@@ -463,26 +463,36 @@ class TPUModelRunner:
             self.mamba_state = new_mamba
         return logits
 
-    def _setup_slot(self, seq: Sequence) -> None:
-        s = seq.slot
-        sp = seq.sampling_params
-        self.h_temps[s] = sp.temperature
-        self.h_topks[s] = sp.top_k
-        self.h_topps[s] = sp.top_p
-        self.h_reps[s] = sp.repetition_penalty
-        self.h_seeds[s] = np.uint32((sp.seed if sp.seed is not None else seq.seq_id) & 0xFFFFFFFF)
-        row = np.full((self.history.shape[1],), self.mcfg.vocab_size, np.int32)
-        row[: len(seq)] = seq.token_ids
-        self.h_hist_lens[s] = len(seq)
-        self.history = self.history.at[s].set(self._dev(row))
+    def _setup_slots(self, seqs: list[Sequence]) -> None:
+        """One batched device update for every admitted sequence's sampling
+        row + history (was per-sequence: N small dispatches per prefill)."""
+        if not seqs:
+            return
+        idx = np.array([s.slot for s in seqs], np.int32)
+        Lh = self.history.shape[1]
+        rows = np.full((len(seqs), Lh), self.mcfg.vocab_size, np.int32)
+        for i, seq in enumerate(seqs):
+            s = seq.slot
+            sp = seq.sampling_params
+            self.h_temps[s] = sp.temperature
+            self.h_topks[s] = sp.top_k
+            self.h_topps[s] = sp.top_p
+            self.h_reps[s] = sp.repetition_penalty
+            self.h_seeds[s] = np.uint32(
+                (sp.seed if sp.seed is not None else seq.seq_id) & 0xFFFFFFFF
+            )
+            self.h_hist_lens[s] = len(seq)
+            rows[i, : len(seq)] = seq.token_ids
+        di = self._dev(idx)
+        self.history = self.history.at[di].set(self._dev(rows))
         d = self.d_sampling
         self.d_sampling = {
-            "temps": d["temps"].at[s].set(sp.temperature),
-            "topks": d["topks"].at[s].set(sp.top_k),
-            "topps": d["topps"].at[s].set(sp.top_p),
-            "reps": d["reps"].at[s].set(sp.repetition_penalty),
-            "seeds": d["seeds"].at[s].set(jnp.uint32(self.h_seeds[s])),
-            "hist_lens": d["hist_lens"].at[s].set(len(seq)),
+            "temps": d["temps"].at[di].set(self._dev(self.h_temps[idx])),
+            "topks": d["topks"].at[di].set(self._dev(self.h_topks[idx])),
+            "topps": d["topps"].at[di].set(self._dev(self.h_topps[idx])),
+            "reps": d["reps"].at[di].set(self._dev(self.h_reps[idx])),
+            "seeds": d["seeds"].at[di].set(self._dev(self.h_seeds[idx])),
+            "hist_lens": d["hist_lens"].at[di].set(self._dev(self.h_hist_lens[idx])),
         }
 
     # ---- public API ------------------------------------------------------
@@ -496,8 +506,7 @@ class TPUModelRunner:
     PREFILL_GROUP_TOKEN_BUDGET = 4096  # padded tokens per batched dispatch
 
     def _run_prefill(self, seqs: list[Sequence]) -> list[list[int]]:
-        for seq in seqs:
-            self._setup_slot(seq)
+        self._setup_slots(seqs)
         logits_by_seq: dict[int, jnp.ndarray] = {}
         if self.mcfg.is_hybrid:
             for seq in seqs:
@@ -582,7 +591,7 @@ class TPUModelRunner:
             # Advancing by the full burst is exact for every sequence that
             # keeps running: postprocess only trims a burst when a stop
             # condition fires, and then the sequence FINISHES and frees its
-            # slot — _setup_slot rebuilds history/hist_lens from scratch when
+            # slot — _setup_slots rebuilds history/hist_lens from scratch when
             # the slot is reused (regression: test_slot_reuse_resets_history).
             self.h_hist_lens[seq.slot] += n_steps
         return out

@@ -377,7 +377,7 @@ def quantize_params(params: dict, mode: str) -> dict:
 
 def load_model_dir(
     model_dir: str, dtype: str = "bfloat16", quantization: str = "none",
-    use_quant_cache: bool = True, device: bool = True,
+    use_quant_cache: bool = True, device: bool = True, fuse_qkv: bool = False,
 ) -> tuple[ModelConfig, dict]:
     """Load config + weights from an HF-format directory; returns
     (ModelConfig, params). Reference: LoadModelFromDirectory
@@ -411,7 +411,8 @@ def load_model_dir(
         # sharded path transfers bf16 shards (not fp32) straight to devices.
         return cfg, to_device_params(params, cfg, device=device)
 
-    cache_path = os.path.join(model_dir, f".nv_quant_{quantization}.pkl")
+    suffix = "_fqkv" if fuse_qkv else ""
+    cache_path = os.path.join(model_dir, f".nv_quant_{quantization}{suffix}.pkl")
     if quantization != "none" and use_quant_cache and os.path.exists(cache_path):
         with open(cache_path, "rb") as f:
             return finish(pickle.load(f))
@@ -420,6 +421,10 @@ def load_model_dir(
     converter = CONVERTERS[cfg.model_type]
     params = converter(sd, cfg)
     params["rope_inv_freq"] = compute_inv_freq(cfg.rotary_dim, cfg.rope_theta, cfg.rope_scaling)
+    if fuse_qkv:
+        from nanovllm_tpu.models.model import fuse_qkv_params
+
+        params = fuse_qkv_params(params)
     params = quantize_params(params, quantization)
     if quantization != "none" and use_quant_cache:
         try:

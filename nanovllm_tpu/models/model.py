@@ -63,6 +63,28 @@ _USE_PAGED_KERNEL: bool | None = (
 # 2.1k tok/s at a 256-token bucket on Llama-1B). The kernel's exact-traffic
 # advantage takes over as the window grows.
 PAGED_KERNEL_MIN_CTX = 1024
+# Same idea for the flash prefill kernel: below this context window the
+# dense-gather prefill is fine (score matrix is small); above it the flash
+# kernel avoids the O(T*S) score materialization and 3x gather traffic.
+# Env override: NANOVLLM_FLASH_PREFILL=0/1.
+FLASH_PREFILL_MIN_CTX = 1024
+_USE_FLASH_PREFILL: bool | None = (
+    None if _os.environ.get("NANOVLLM_FLASH_PREFILL") not in ("0", "1")
+    else _os.environ.get("NANOVLLM_FLASH_PREFILL") == "1"
+)
+
+
+def set_use_flash_prefill(flag: bool | None) -> None:
+    global _USE_FLASH_PREFILL
+    _USE_FLASH_PREFILL = flag
+
+
+def _flash_prefill_ok(ctx_bucket: int, T: int) -> bool:
+    if T % 8 != 0:
+        return False
+    if _USE_FLASH_PREFILL is not None:
+        return _USE_FLASH_PREFILL
+    return jax.default_backend() == "tpu" and ctx_bucket >= FLASH_PREFILL_MIN_CTX
 
 
 def set_use_paged_kernel(flag: bool | None) -> None:
@@ -226,10 +248,88 @@ def _ffn_forward(cfg: ModelConfig, blk: dict, x: jnp.ndarray) -> jnp.ndarray:
 
 def _qkv(cfg: ModelConfig, ap: dict, x: jnp.ndarray):
     T = x.shape[0]
+    if "qkv" in ap:
+        # Fused projection (fuse_qkv_params): one matmul / one quant-kernel
+        # dispatch for all three. Segments sit at 128-aligned offsets (the
+        # quantized layout pads each part's columns to 128-multiples; the
+        # dense fusion zero-pads to match).
+        nq = cfg.num_heads * cfg.head_dim
+        nkv = cfg.num_kv_heads * cfg.head_dim
+        nq_p = -(-nq // 128) * 128
+        nkv_p = -(-nkv // 128) * 128
+        z = linear(ap["qkv"], x)
+        q = z[:, :nq].reshape(T, cfg.num_heads, cfg.head_dim)
+        k = z[:, nq_p:nq_p + nkv].reshape(T, cfg.num_kv_heads, cfg.head_dim)
+        v = z[:, nq_p + nkv_p:nq_p + nkv_p + nkv].reshape(T, cfg.num_kv_heads, cfg.head_dim)
+        return q, k, v
     q = linear(ap["q"], x).reshape(T, cfg.num_heads, cfg.head_dim)
     k = linear(ap["k"], x).reshape(T, cfg.num_kv_heads, cfg.head_dim)
     v = linear(ap["v"], x).reshape(T, cfg.num_kv_heads, cfg.head_dim)
     return q, k, v
+
+
+def fuse_qkv_params(params: dict) -> dict:
+    """Host-side transform: concatenate each block's q/k/v projection weights
+    along the output dim so the input-side attention projections run as ONE
+    matmul (one Pallas dispatch when quantized) per layer. Exactly
+    numerics-preserving: INT8 per-out-channel and INT4 per-(group, channel)
+    scales are independent per output column, so quantize(concat(dense)) ==
+    concat(quantized parts) — which also means already-quantized QuantLinear
+    triples can be fused directly. Single-mesh only (TP shards q/k/v over
+    heads separately)."""
+    import numpy as np
+
+    from nanovllm_tpu.ops.quant import QuantLinear
+
+    def pad_cols(a, width):
+        a = np.asarray(a)
+        return np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, width - a.shape[-1])])
+
+    def cat_dense(qp, kp, vp):
+        # Zero-pad each part's columns to the 128-aligned segment widths the
+        # quantized layout uses, so _qkv's offsets are layout-independent.
+        qw, kw, vw = (np.asarray(p["w"]) for p in (qp, kp, vp))
+        nq_p = -(-qw.shape[1] // 128) * 128
+        nkv_p = -(-kw.shape[1] // 128) * 128
+        fused = {"w": np.concatenate(
+            [pad_cols(qw, nq_p), pad_cols(kw, nkv_p), np.asarray(vw)], axis=1
+        )}
+        if "b" in qp:
+            fused["b"] = np.concatenate([
+                pad_cols(np.asarray(qp["b"])[None], nq_p)[0],
+                pad_cols(np.asarray(kp["b"])[None], nkv_p)[0],
+                np.asarray(vp["b"]),
+            ])
+        return fused
+
+    def cat_quant(qp, kp, vp):
+        # Each part's qw/scale columns are already padded to 128-multiples,
+        # which are exactly the fused segment offsets _qkv uses.
+        b = None
+        if qp.b is not None:
+            b = np.concatenate([
+                pad_cols(np.asarray(qp.b)[None], qp.qw.shape[1])[0],
+                pad_cols(np.asarray(kp.b)[None], kp.qw.shape[1])[0],
+                np.asarray(vp.b),
+            ])
+        return QuantLinear(
+            np.concatenate([np.asarray(qp.qw), np.asarray(kp.qw), np.asarray(vp.qw)], axis=1),
+            np.concatenate([np.asarray(qp.scale), np.asarray(kp.scale), np.asarray(vp.scale)], axis=-1),
+            b, qp.mode, qp.n_in,
+            qp.qw.shape[1] + kp.qw.shape[1] + vp.n_out,
+        )
+
+    for blk in params["blocks"]:
+        ap = blk.get("attn")
+        if not ap or not all(k in ap for k in ("q", "k", "v")):
+            continue
+        qp, kp, vp = ap["q"], ap["k"], ap["v"]
+        kinds = {isinstance(p, QuantLinear) for p in (qp, kp, vp)}
+        if len(kinds) > 1:
+            continue  # mixed dense/quantized triple (size-gated quantization)
+        fused = cat_quant(qp, kp, vp) if kinds.pop() else cat_dense(qp, kp, vp)
+        blk["attn"] = {"qkv": fused, "o": ap["o"]}
+    return params
 
 
 def _use_rope(cfg: ModelConfig, layer_idx: int) -> bool:
@@ -311,13 +411,24 @@ def prefill_chunk(
             q = apply_rope(q, *cos_sin)
             k = apply_rope(k, *cos_sin)
         pool = kvc.kv_write(pool, layer, nslots, k, v, slot_mapping)
-        k_ctx, v_ctx = kvc.kv_gather(
-            pool, layer, nslots, block_table[None, :], block_size, cfg.num_kv_heads, dtype=x.dtype
-        )
-        attn = attention_chunk(
-            q, k_ctx[0], v_ctx[0], positions, k_positions, context_len,
-            cfg.attn_scale, cfg.sliding_window,
-        )
+        if _flash_prefill_ok(S, tokens.shape[0]):
+            from nanovllm_tpu.ops.pallas.flash_prefill import flash_prefill_paged
+
+            bt_l = block_table[None, :] + layer * (nslots // block_size)
+            attn = flash_prefill_paged(
+                q[None], pool["k"], pool["v"], bt_l,
+                positions[:1], jnp.reshape(context_len, (1,)),
+                cfg.num_kv_heads, block_size, cfg.attn_scale, cfg.sliding_window,
+                k_scale_l=pool.get("k_scale"), v_scale_l=pool.get("v_scale"),
+            )[0]
+        else:
+            k_ctx, v_ctx = kvc.kv_gather(
+                pool, layer, nslots, block_table[None, :], block_size, cfg.num_kv_heads, dtype=x.dtype
+            )
+            attn = attention_chunk(
+                q, k_ctx[0], v_ctx[0], positions, k_positions, context_len,
+                cfg.attn_scale, cfg.sliding_window,
+            )
         attn_out = linear(blk["attn"]["o"], attn.reshape(attn.shape[0], -1))
         if cfg.block_style == BlockStyle.PARALLEL:
             # Falcon: x + attn(ln x) + ffn(ln x), single shared LN.
@@ -402,14 +513,25 @@ def prefill_batch(
             q = apply_rope(q, *cos_sin)
             k = apply_rope(k, *cos_sin)
         pool = kvc.kv_write(pool, layer, nslots, k, v, slot_mapping)
-        k_ctx, v_ctx = kvc.kv_gather(
-            pool, layer, nslots, block_tables, block_size, cfg.num_kv_heads, dtype=x.dtype
-        )
-        attn = attention_chunk_batched(
-            q.reshape(N, T, cfg.num_heads, cfg.head_dim),
-            k_ctx, v_ctx, positions, k_positions, context_lens,
-            cfg.attn_scale, cfg.sliding_window,
-        ).reshape(N * T, -1)
+        if _flash_prefill_ok(S, T):
+            from nanovllm_tpu.ops.pallas.flash_prefill import flash_prefill_paged
+
+            bt_l = block_tables + layer * (nslots // block_size)
+            attn = flash_prefill_paged(
+                q.reshape(N, T, cfg.num_heads, cfg.head_dim),
+                pool["k"], pool["v"], bt_l, positions[:, 0], context_lens,
+                cfg.num_kv_heads, block_size, cfg.attn_scale, cfg.sliding_window,
+                k_scale_l=pool.get("k_scale"), v_scale_l=pool.get("v_scale"),
+            ).reshape(N * T, -1)
+        else:
+            k_ctx, v_ctx = kvc.kv_gather(
+                pool, layer, nslots, block_tables, block_size, cfg.num_kv_heads, dtype=x.dtype
+            )
+            attn = attention_chunk_batched(
+                q.reshape(N, T, cfg.num_heads, cfg.head_dim),
+                k_ctx, v_ctx, positions, k_positions, context_lens,
+                cfg.attn_scale, cfg.sliding_window,
+            ).reshape(N * T, -1)
         attn_out = linear(blk["attn"]["o"], attn)
         if cfg.block_style == BlockStyle.PARALLEL:
             h2 = h if cfg.parallel_single_ln else apply_norm(blk["ln2"], x, cfg.norm_eps)

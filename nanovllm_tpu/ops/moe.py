@@ -11,8 +11,11 @@ expert FFNs run as dense einsums over the stacked expert weights
 ([E, hidden, 2*inner] / [E, inner, hidden]) — every token visits every expert
 on the MXU and the combine matrix zeroes the non-selected ones. That is
 exact (identical to sort-based dispatch) and compiles to three big batched
-matmuls with no dynamic shapes; a capacity-based sorted dispatch is the
-planned optimization for large expert counts under expert parallelism.
+matmuls with no dynamic shapes. For LARGE expert counts under expert
+parallelism, `moe_forward_dispatch` (ModelConfig.moe_capacity_factor > 0)
+provides the capacity-bounded gather/scatter dispatch: expert-major static
+[X, C] batches, compute scaling with T*k instead of T*X, standard
+capacity-drop semantics on overflow.
 
 Note softmax-then-top-k-then-renormalize (the reference's order) is
 mathematically identical to top-k-on-logits-then-softmax (HF GraniteMoe's
@@ -38,17 +41,82 @@ def init_moe_params(cfg: ModelConfig, rng) -> dict:
     }
 
 
+def _route(cfg: ModelConfig, p: dict, x: jnp.ndarray):
+    from nanovllm_tpu.ops.linear import linear
+
+    logits = linear(p["router"], x).astype(jnp.float32)  # [T, X]
+    probs = jax.nn.softmax(logits, axis=-1)
+    top_w, top_i = jax.lax.top_k(probs, cfg.num_experts_per_tok)  # [T, k]
+    if cfg.moe_router_renormalize:
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    return top_w, top_i
+
+
+def _expert_glu(cfg: ModelConfig, p: dict, xe: jnp.ndarray) -> jnp.ndarray:
+    """Batched GLU over expert-major rows: xe [X, C, E_hid] -> [X, C, E_hid]."""
+    h = jnp.einsum(
+        "xce,xei->xci", xe, p["gate_up"].astype(xe.dtype), preferred_element_type=jnp.float32
+    ).astype(xe.dtype)
+    gate, up = jnp.split(h, 2, axis=-1)
+    h = jax.nn.silu(gate) * up
+    return jnp.einsum(
+        "xci,xie->xce", h, p["down"].astype(xe.dtype), preferred_element_type=jnp.float32
+    )
+
+
+def moe_forward_dispatch(cfg: ModelConfig, p: dict, x: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Capacity-bounded sorted dispatch: gather each expert's (at most
+    `capacity`) assigned tokens into an expert-major [X, C, E_hid] batch, run
+    the GLU once per expert row, gather results back per (token, k) slot.
+    Compute scales with T*k*factor instead of T*X — the EP-scalable path
+    (SURVEY §7 hard-part #4). Tokens past an expert's capacity lose that
+    expert's contribution (their top_w stays renormalized over all k)."""
+    T, Eh = x.shape
+    X, k, C = cfg.num_experts, cfg.num_experts_per_tok, capacity
+    top_w, top_i = _route(cfg, p, x)
+
+    e_flat = top_i.reshape(-1)                               # [T*k]
+    w_flat = top_w.reshape(-1)
+    tok_flat = jnp.repeat(jnp.arange(T, dtype=jnp.int32), k)
+    onehot = jax.nn.one_hot(e_flat, X, dtype=jnp.int32)      # [T*k, X]
+    # Exclusive running count of prior assignments to the same expert =
+    # this assignment's position within the expert's capacity window.
+    pos_in_e = jnp.sum((jnp.cumsum(onehot, axis=0) - onehot) * onehot, axis=1)
+    keep = pos_in_e < C
+    slot = jnp.where(keep, e_flat * C + pos_in_e, X * C)     # OOB sentinel
+
+    dispatch = (
+        jnp.full((X * C + 1,), T, jnp.int32).at[slot].set(tok_flat, mode="drop")[:-1]
+    )
+    x_pad = jnp.concatenate([x, jnp.zeros((1, Eh), x.dtype)], axis=0)
+    xe = x_pad[dispatch].reshape(X, C, Eh)
+    y = _expert_glu(cfg, p, xe)                              # [X, C, Eh] f32
+
+    y_pad = jnp.concatenate([y.reshape(X * C, Eh), jnp.zeros((1, Eh), y.dtype)], axis=0)
+    y_tk = y_pad[jnp.minimum(slot, X * C)]                   # [T*k, Eh]; dropped -> 0
+    out = jnp.sum((y_tk * w_flat[:, None]).reshape(T, k, Eh), axis=1)
+    return out.astype(x.dtype)
+
+
 def moe_forward(cfg: ModelConfig, p: dict, x: jnp.ndarray) -> jnp.ndarray:
     """x [T, E_hid] -> [T, E_hid]."""
     from nanovllm_tpu.ops.linear import linear
 
     T = x.shape[0]
-    logits = linear(p["router"], x).astype(jnp.float32)  # [T, X]
-    probs = jax.nn.softmax(logits, axis=-1)
     k = cfg.num_experts_per_tok
-    top_w, top_i = jax.lax.top_k(probs, k)  # [T, k]
-    if cfg.moe_router_renormalize:
-        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    if cfg.moe_capacity_factor > 0:
+        import math
+
+        C = math.ceil(T * k / cfg.num_experts * cfg.moe_capacity_factor)
+        C = min(max(8 * math.ceil(C / 8), 8), T)  # sublane-pad, never beyond T
+        out = moe_forward_dispatch(cfg, p, x, C)
+        if "shared" in p:
+            from nanovllm_tpu.ops.activations import swiglu
+
+            h = linear(p["shared"]["up"], x)
+            out = out + linear(p["shared"]["down"], swiglu(h))
+        return out
+    top_w, top_i = _route(cfg, p, x)
     combine = jax.nn.one_hot(top_i, cfg.num_experts, dtype=jnp.float32)  # [T, k, X]
     combine = jnp.sum(combine * top_w[..., None], axis=1)  # [T, X]
 

@@ -49,12 +49,15 @@ VMEM_BUDGET = 11 << 20  # leave headroom under the 16MB scoped-vmem limit
 
 def _vmem_cost(bm: int, bn: int, keff: int, is4: bool, split: bool) -> int:
     """Rough scoped-VMEM bytes for one grid step: double-buffered x and
-    weight blocks, the in-kernel dequantized weight intermediates (bf16 cast
-    for INT8; f32 unpack + scaled copy + bf16 cast for INT4), the output
-    block and the k-split accumulator."""
+    weight blocks, the in-kernel dequant intermediates (bf16 cast for INT8;
+    int32 nibble temps + one bf16 copy + f32 per-group accumulator for
+    INT4), the output block and the k-split accumulator."""
     x = 2 * bm * keff * 2
     wq = 2 * (keff // 2 if is4 else keff) * bn
-    dq = (4 + 4 + 2) * keff * bn if is4 else 2 * keff * bn
+    if is4:
+        dq = (4 + 2) * keff * bn + 4 * bm * bn * (keff // INT4_GROUP_SIZE)
+    else:
+        dq = 2 * keff * bn
     out = 2 * bm * bn * 4 + (bm * bn * 4 if split else 0)
     return x + wq + dq + out
 
@@ -111,14 +114,32 @@ def _int8_kernel_kres(x_ref, qw_ref, scale_ref, o_ref):
     o_ref[:] = acc * scale_ref[:].astype(jnp.float32)
 
 
+def _group_dot(x, w, scale, dtype):
+    """Per-group matmul with the scale applied to the ACCUMULATOR, not the
+    weights: out = sum_g (x_g @ w_g) * s_g. Exact (f32 accumulation per
+    group), and moves the per-group scale multiply from [K, bn] elements to
+    [g, bm, bn] — 8x fewer VPU ops at bm=16 — while the weights go straight
+    from nibbles to compute dtype with ONE cast and no f32 copy. Statically
+    unrolled (Mosaic rejects dot_general batch dims in differing positions);
+    each 128-deep dot is one natural MXU pass group."""
+    bm, K = x.shape
+    bn = w.shape[1]
+    g = K // INT4_GROUP_SIZE
+    sc = scale.astype(jnp.float32)
+    acc = None
+    for gi in range(g):
+        lo = gi * INT4_GROUP_SIZE
+        part = jnp.dot(
+            x[:, lo:lo + INT4_GROUP_SIZE], w[lo:lo + INT4_GROUP_SIZE, :],
+            preferred_element_type=jnp.float32,
+        ) * sc[gi:gi + 1, :]
+        acc = part if acc is None else acc + part
+    return acc
+
+
 def _int4_kernel_kres(x_ref, qw_ref, scale_ref, o_ref):
-    w = _unpack_int4(qw_ref[:], jnp.float32)  # [K, bn]
-    # Apply per-group scales to the weights before the dot (exact).
-    g, bn = scale_ref.shape
-    w = (w.reshape(g, INT4_GROUP_SIZE, bn) * scale_ref[:].astype(jnp.float32)[:, None, :]).reshape(
-        g * INT4_GROUP_SIZE, bn
-    )
-    o_ref[:] = jnp.dot(x_ref[:], w.astype(x_ref.dtype), preferred_element_type=jnp.float32)
+    w = _unpack_int4(qw_ref[:], x_ref.dtype)  # [K, bn], unscaled
+    o_ref[:] = _group_dot(x_ref[:], w, scale_ref[:], x_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -149,11 +170,9 @@ def _int4_kernel_ksplit(x_ref, qw_ref, scale_ref, o_ref, acc_ref, *, nk: int, gp
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = _unpack_int4(qw_ref[:], jnp.float32)  # [BK, bn]
-    bn = w.shape[1]
-    sc = scale_ref[pl.ds(k * gpb, gpb), :].astype(jnp.float32)  # this chunk's groups
-    w = (w.reshape(gpb, INT4_GROUP_SIZE, bn) * sc[:, None, :]).reshape(-1, bn)
-    acc_ref[:] += jnp.dot(x_ref[:], w.astype(x_ref.dtype), preferred_element_type=jnp.float32)
+    w = _unpack_int4(qw_ref[:], x_ref.dtype)  # [BK, bn], unscaled
+    sc = scale_ref[pl.ds(k * gpb, gpb), :]  # this chunk's groups
+    acc_ref[:] += _group_dot(x_ref[:], w, sc, x_ref.dtype)
 
     @pl.when(k == nk - 1)
     def _():

@@ -1,0 +1,81 @@
+"""Capacity-bounded MoE dispatch vs the dense-combine exact path."""
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from nanovllm_tpu.config import ActivationType, ModelConfig, NormType, PositionType
+from nanovllm_tpu.ops import moe as moe_ops
+
+
+def make_cfg(**kw):
+    base = dict(
+        vocab_size=97, hidden_size=32, num_layers=1, num_heads=4, num_kv_heads=4,
+        intermediate_size=64, max_seq_len=64, norm_type=NormType.RMSNORM,
+        position_type=PositionType.ROPE, activation=ActivationType.SWIGLU,
+        dtype="float32", eos_token_id=0,
+        num_experts=8, num_experts_per_tok=2, moe_intermediate_size=16,
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def test_dispatch_matches_dense_with_ample_capacity():
+    cfg = make_cfg()
+    rng = np.random.default_rng(0)
+    p = moe_ops.init_moe_params(cfg, rng)
+    p = {k: jnp.asarray(v) if not isinstance(v, dict) else {kk: jnp.asarray(vv) for kk, vv in v.items()} for k, v in p.items()}
+    x = jnp.asarray(rng.standard_normal((24, cfg.hidden_size)).astype(np.float32))
+
+    dense = moe_ops.moe_forward(cfg, p, x)
+    # Capacity = T: nothing can drop => must match the dense path exactly.
+    disp = moe_ops.moe_forward_dispatch(cfg, p, x, capacity=24)
+    np.testing.assert_allclose(np.asarray(disp), np.asarray(dense), rtol=1e-5, atol=1e-5)
+
+    # Through the config switch (factor large enough that C >= any expert load).
+    cfg_big = dataclasses.replace(cfg, moe_capacity_factor=float(cfg.num_experts))
+    via_cfg = moe_ops.moe_forward(cfg_big, p, x)
+    np.testing.assert_allclose(np.asarray(via_cfg), np.asarray(dense), rtol=1e-5, atol=1e-5)
+
+
+def test_capacity_drop_semantics():
+    """With capacity 1, an expert keeps only its FIRST assigned token; later
+    tokens lose that expert's contribution but keep their other experts'."""
+    cfg = make_cfg(num_experts=4, num_experts_per_tok=1, moe_router_renormalize=False)
+    rng = np.random.default_rng(1)
+    p = moe_ops.init_moe_params(cfg, rng)
+    p = {k: jnp.asarray(v) if not isinstance(v, dict) else v for k, v in p.items()}
+    # Two identical tokens route identically -> same expert; capacity 1 drops
+    # the second entirely (k=1), so its output must be exactly zero.
+    row = rng.standard_normal((1, cfg.hidden_size)).astype(np.float32)
+    x = jnp.asarray(np.concatenate([row, row], axis=0))
+    out = moe_ops.moe_forward_dispatch(cfg, p, x, capacity=1)
+    dense = moe_ops.moe_forward(cfg, p, x)
+    np.testing.assert_allclose(np.asarray(out)[0], np.asarray(dense)[0], rtol=1e-5, atol=1e-5)
+    assert np.abs(np.asarray(out)[1]).max() == 0.0
+
+
+def test_dispatch_under_expert_sharding():
+    """The dispatch path must produce identical results when the expert
+    weights are sharded over a mesh axis (EP)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg = make_cfg()
+    rng = np.random.default_rng(2)
+    p = moe_ops.init_moe_params(cfg, rng)
+    p = {k: jnp.asarray(v) if not isinstance(v, dict) else {kk: jnp.asarray(vv) for kk, vv in v.items()} for k, v in p.items()}
+    x = jnp.asarray(rng.standard_normal((16, cfg.hidden_size)).astype(np.float32))
+    ref = moe_ops.moe_forward_dispatch(cfg, p, x, capacity=16)
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        return
+    mesh = Mesh(np.array(devs[:4]), ("model",))
+    p_sh = dict(p)
+    p_sh["gate_up"] = jax.device_put(p["gate_up"], NamedSharding(mesh, P("model", None, None)))
+    p_sh["down"] = jax.device_put(p["down"], NamedSharding(mesh, P("model", None, None)))
+    with mesh:
+        out = jax.jit(lambda pp, xx: moe_ops.moe_forward_dispatch(cfg, pp, xx, capacity=16))(p_sh, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
