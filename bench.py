@@ -81,6 +81,10 @@ def main():
                 pickle.dump(params_np, f)
         except OSError:
             pass
+    if os.environ.get("NANOVLLM_BENCH_FUSE", "1") == "1":
+        # Post-quantization q/k/v fusion is numerics-identical (per-column
+        # scales) — one input-projection dispatch per layer instead of three.
+        params_np = M.fuse_qkv_params(params_np)
     params = M.to_device_params(params_np, cfg)
     log(f"weights ready in {time.time()-t0:.1f}s")
 

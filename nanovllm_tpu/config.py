@@ -256,6 +256,14 @@ class EngineConfig:
     # Weight quantization: "none" | "int8" | "int4"
     quantization: str = "none"
 
+    # Failure recovery (SURVEY §5): a failed device step requeues its
+    # sequences (they re-prefill from the pool-backed prefix) up to this many
+    # times each before the request finishes with finish_reason="error";
+    # after `max_consecutive_step_failures` failed steps in a row the engine
+    # re-raises (the device is gone, not the request).
+    max_retries_per_request: int = 2
+    max_consecutive_step_failures: int = 8
+
     # Parallelism
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1

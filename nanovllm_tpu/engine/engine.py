@@ -101,6 +101,7 @@ class LLMEngine:
         # that land mid-step are deferred and released before postprocess.
         self._inflight_ids: set[int] = set()
         self._deferred_aborts: list[Sequence] = []
+        self._consecutive_failures = 0
 
     # ---- API -------------------------------------------------------------
 
@@ -131,7 +132,14 @@ class LLMEngine:
             return []
         t0 = time.perf_counter()
         lens_before = {s.seq_id: len(s) for s in seqs}
-        token_ids = self.runner.run(seqs, is_prefill)
+        try:
+            token_ids = self.runner.run(seqs, is_prefill)
+        except Exception:
+            outputs = self._handle_step_failure(seqs)
+            if outputs is None:
+                raise
+            return outputs
+        self._consecutive_failures = 0
         dt = time.perf_counter() - t0
         now = time.perf_counter()
         if is_prefill:
@@ -181,6 +189,47 @@ class LLMEngine:
             self._arrival.pop(seq.seq_id, None)
             self._first_token.pop(seq.seq_id, None)
             self.registry.inc("requests_finished")
+        return outputs
+
+    def _handle_step_failure(self, seqs: list[Sequence]) -> Optional[list[RequestOutput]]:
+        """Request-level retry (SURVEY §5 failure recovery, beyond the
+        reference's panic-on-error): a failed device step requeues its
+        sequences at the waiting front — they re-prefill on the next step —
+        until a sequence exhausts max_retries_per_request (finished with
+        finish_reason='error'). Returns the error-finished outputs, or None
+        when max_consecutive_step_failures is hit (caller re-raises: the
+        failure is the device/program, not a request — donated device
+        buffers may be poisoned and a fresh runner is needed)."""
+        from nanovllm_tpu.engine.sequence import SequenceStatus
+
+        self._consecutive_failures = getattr(self, "_consecutive_failures", 0) + 1
+        self.registry.inc("step_failures")
+        if self._consecutive_failures >= self.engine_cfg.max_consecutive_step_failures:
+            return None
+        outputs = []
+        with self._lock:
+            self._inflight_ids = set()
+            for aborted in self._deferred_aborts:
+                self._release_sequence(aborted)
+            self._deferred_aborts.clear()
+            for seq in seqs:
+                if seq.status == SequenceStatus.FINISHED:
+                    continue  # aborted while the failing step was in flight
+                seq.retries += 1
+                if seq in self.scheduler.running:
+                    self.scheduler.running.remove(seq)
+                if seq.retries > self.engine_cfg.max_retries_per_request:
+                    seq.finish_reason = "error"
+                    self._release_sequence(seq)
+                    outputs.append(RequestOutput(seq, ""))
+                    self._seqs.pop(seq.seq_id, None)
+                    self._arrival.pop(seq.seq_id, None)
+                    self._first_token.pop(seq.seq_id, None)
+                else:
+                    # Reuse the preemption path: deallocate + requeue at the
+                    # waiting front; prefill restarts from the prompt.
+                    self.scheduler._preempt(seq)
+                    self.scheduler.num_preemptions -= 1  # not a capacity preemption
         return outputs
 
     def _release_sequence(self, seq: Sequence) -> None:

@@ -41,6 +41,7 @@ class Sequence:
         self.block_size = block_size
         self.slot: Optional[int] = None  # decode batch lane while RUNNING
         self.finish_reason: Optional[str] = None
+        self.retries: int = 0  # failed-step requeues (EngineConfig.max_retries_per_request)
 
     def __len__(self) -> int:
         return len(self.token_ids)

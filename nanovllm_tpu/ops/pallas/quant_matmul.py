@@ -114,32 +114,42 @@ def _int8_kernel_kres(x_ref, qw_ref, scale_ref, o_ref):
     o_ref[:] = acc * scale_ref[:].astype(jnp.float32)
 
 
-def _group_dot(x, w, scale, dtype):
-    """Per-group matmul with the scale applied to the ACCUMULATOR, not the
-    weights: out = sum_g (x_g @ w_g) * s_g. Exact (f32 accumulation per
-    group), and moves the per-group scale multiply from [K, bn] elements to
-    [g, bm, bn] — 8x fewer VPU ops at bm=16 — while the weights go straight
-    from nibbles to compute dtype with ONE cast and no f32 copy. Statically
-    unrolled (Mosaic rejects dot_general batch dims in differing positions);
-    each 128-deep dot is one natural MXU pass group."""
+def _group_dot(x, packed, scale, dtype):
+    """Fused int4 unpack + per-group matmul, scale applied to the
+    ACCUMULATOR: out = sum_g (xl_g @ L_g + xh_g @ H_g) * s_g.
+
+    The group-paired packing (row r low nibble / row r+64 high nibble of the
+    same byte row) means each packed row block [g*64, (g+1)*64) IS the low-
+    and high-half weight rows of group g — so instead of unpacking into a
+    contiguous [K, bn] copy (a sublane-concat relayout per tile), the dot is
+    split into two 64-deep halves against the nibble planes directly. VPU
+    work per packed byte: 1 widening cast + 4 shifts + 2 bf16 casts — no
+    concat, no f32 weight copy, no [K, bn] scale multiply (the per-group
+    scale hits the [bm, bn] accumulator)."""
     bm, K = x.shape
-    bn = w.shape[1]
+    bn = packed.shape[1]
     g = K // INT4_GROUP_SIZE
+    half = INT4_GROUP_SIZE // 2
+    p32 = packed.astype(jnp.int32)
+    low = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(dtype)   # [K/2, bn]
+    high = jnp.right_shift(jnp.left_shift(p32, 24), 28).astype(dtype)
     sc = scale.astype(jnp.float32)
     acc = None
     for gi in range(g):
         lo = gi * INT4_GROUP_SIZE
-        part = jnp.dot(
-            x[:, lo:lo + INT4_GROUP_SIZE], w[lo:lo + INT4_GROUP_SIZE, :],
-            preferred_element_type=jnp.float32,
+        part = (
+            jnp.dot(x[:, lo:lo + half], low[gi * half:(gi + 1) * half, :],
+                    preferred_element_type=jnp.float32)
+            + jnp.dot(x[:, lo + half:lo + INT4_GROUP_SIZE],
+                      high[gi * half:(gi + 1) * half, :],
+                      preferred_element_type=jnp.float32)
         ) * sc[gi:gi + 1, :]
         acc = part if acc is None else acc + part
     return acc
 
 
 def _int4_kernel_kres(x_ref, qw_ref, scale_ref, o_ref):
-    w = _unpack_int4(qw_ref[:], x_ref.dtype)  # [K, bn], unscaled
-    o_ref[:] = _group_dot(x_ref[:], w, scale_ref[:], x_ref.dtype)
+    o_ref[:] = _group_dot(x_ref[:], qw_ref[:], scale_ref[:], x_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -170,9 +180,8 @@ def _int4_kernel_ksplit(x_ref, qw_ref, scale_ref, o_ref, acc_ref, *, nk: int, gp
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    w = _unpack_int4(qw_ref[:], x_ref.dtype)  # [BK, bn], unscaled
     sc = scale_ref[pl.ds(k * gpb, gpb), :]  # this chunk's groups
-    acc_ref[:] += _group_dot(x_ref[:], w, sc, x_ref.dtype)
+    acc_ref[:] += _group_dot(x_ref[:], qw_ref[:], sc, x_ref.dtype)
 
     @pl.when(k == nk - 1)
     def _():

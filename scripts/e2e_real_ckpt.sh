@@ -10,8 +10,9 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 PY=${PY:-python}
 T=${TIMEOUT:-580}
+ARCHS=${ARCHS:-gpt2 llama}
 
-for arch in gpt2 llama; do
+for arch in $ARCHS; do
   dir=/tmp/e2e-tiny-$arch
   echo "=== $arch: build checkpoint ==="
   timeout "$T" $PY scripts/make_tiny_ckpt.py $arch "$dir"

@@ -216,3 +216,64 @@ def test_abort_waiting_request_releases_nothing_held():
     assert eng.abort_request(sid)
     assert bm.num_free_blocks == bm.num_blocks
     assert eng.is_finished()
+
+
+class FlakyRunner(MockModelRunner):
+    """Fails the first `n_failures` run() calls, then behaves normally."""
+
+    def __init__(self, n_failures, **kw):
+        super().__init__(**kw)
+        self.n_failures = n_failures
+        self.calls = 0
+
+    def run(self, seqs, is_prefill):
+        self.calls += 1
+        if self.calls <= self.n_failures:
+            raise RuntimeError("injected device failure")
+        return super().run(seqs, is_prefill)
+
+
+def test_step_failure_retries_and_recovers():
+    cfg = EngineConfig(
+        max_num_batched_tokens=4096, max_num_seqs=8, max_model_len=256,
+        kv_block_size=16, eos_token_id=0, max_decode_slots=8,
+        max_retries_per_request=3,
+    )
+    eng = LLMEngine(None, cfg, runner=FlakyRunner(2, eos_token_id=0, eos_every=10),
+                    tokenizer=MockTokenizer(), num_kv_blocks=64)
+    outs = eng.generate(["hello", "world"], SamplingParams(max_tokens=8))
+    assert len(outs) == 2
+    assert all(o.finish_reason in ("stop", "length") for o in outs)
+    assert eng.registry.snapshot().get("step_failures") == 2
+    # Blocks/slots all returned.
+    assert len(eng.scheduler.free_slots) == 8
+
+
+def test_retry_exhaustion_finishes_with_error():
+    cfg = EngineConfig(
+        max_num_batched_tokens=4096, max_num_seqs=8, max_model_len=256,
+        kv_block_size=16, eos_token_id=0, max_decode_slots=8,
+        max_retries_per_request=1, max_consecutive_step_failures=50,
+    )
+    eng = LLMEngine(None, cfg, runner=FlakyRunner(10**9),
+                    tokenizer=MockTokenizer(), num_kv_blocks=64)
+    outs = eng.generate(["doomed"], SamplingParams(max_tokens=8))
+    assert len(outs) == 1
+    assert outs[0].finish_reason == "error"
+    assert eng.is_finished()
+    assert len(eng.scheduler.free_slots) == 8
+    assert eng.scheduler.block_manager.num_free_blocks == 64
+
+
+def test_consecutive_failures_reraise():
+    cfg = EngineConfig(
+        max_num_batched_tokens=4096, max_num_seqs=8, max_model_len=256,
+        kv_block_size=16, eos_token_id=0, max_decode_slots=8,
+        max_retries_per_request=10**9, max_consecutive_step_failures=3,
+    )
+    eng = LLMEngine(None, cfg, runner=FlakyRunner(10**9),
+                    tokenizer=MockTokenizer(), num_kv_blocks=64)
+    eng.add_request("x", SamplingParams(max_tokens=4))
+    with pytest.raises(RuntimeError, match="injected"):
+        while not eng.is_finished():
+            eng.step()
