@@ -116,6 +116,15 @@ class LLMEngine:
                 f"prompt of {len(token_ids)} tokens exceeds max_model_len="
                 f"{self.engine_cfg.max_model_len}"
             )
+        # Clamp generation at the model limit (vLLM semantics): the request
+        # finishes with finish_reason="length" at max_model_len instead of
+        # overflowing the block table mid-decode. The caller's params object
+        # is never mutated.
+        allowed = self.engine_cfg.max_model_len - len(token_ids)
+        if sampling_params.max_tokens > allowed:
+            import dataclasses
+
+            sampling_params = dataclasses.replace(sampling_params, max_tokens=allowed)
         seq = Sequence(token_ids, sampling_params, self.engine_cfg.kv_block_size)
         with self._lock:
             self.scheduler.add(seq)

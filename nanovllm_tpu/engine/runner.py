@@ -232,6 +232,7 @@ class TPUModelRunner:
             bs = self.ecfg.kv_block_size
             Lh = self.hist_capacity
             rep = self._rep
+            max_len = self.ecfg.max_model_len
 
             nslots = self.num_slots_flat
 
@@ -245,8 +246,11 @@ class TPUModelRunner:
                     blk = jnp.take_along_axis(
                         block_tables, (positions // bs)[:, None], axis=1
                     )[:, 0]
+                    # Positions at/past max_model_len have no allocated block
+                    # (generation is clamped there): drop their writes instead
+                    # of letting the clamped table index corrupt block 0.
                     slot_mapping = jnp.where(
-                        active, blk * bs + positions % bs, nslots
+                        active & (positions < max_len), blk * bs + positions % bs, nslots
                     ).astype(jnp.int32)
                     logits, pool, mamba = M.decode_step(
                         params, cfg, tokens, positions, ctx, block_tables,
@@ -353,7 +357,8 @@ class TPUModelRunner:
                     body, init, jnp.arange(n_steps, dtype=jnp.int32)
                 )
                 pool = M.flush_burst_stash(
-                    pool, cfg, stash, block_tables, positions0, active, bs
+                    pool, cfg, stash, block_tables, positions0, active, bs,
+                    max_positions=self.ecfg.max_model_len,
                 )
                 sampling_out = dict(sampling)
                 sampling_out["hist_lens"] = hist_lens

@@ -90,8 +90,13 @@ class Scheduler:
             if not self.running:
                 break
             seq = self.running.popleft()
+            # Never allocate blocks past the model limit: generation is
+            # clamped at max_model_len (add_request caps max_tokens; the
+            # device step masks KV writes past the limit), so capacity is
+            # only needed for the tokens that can actually be kept.
+            need = min(burst, max(1, self.config.max_model_len - len(seq)))
             preempted_self = False
-            while not self.block_manager.can_ensure(seq, burst):
+            while not self.block_manager.can_ensure(seq, need):
                 if self.running:
                     self._preempt(self.running.pop())
                 else:
@@ -100,7 +105,7 @@ class Scheduler:
                     break
             if preempted_self:
                 continue
-            self.block_manager.ensure_capacity(seq, burst)
+            self.block_manager.ensure_capacity(seq, need)
             decode.append(seq)
         self.running.extend(decode)
         if not decode and self.waiting and not self.running:
@@ -140,7 +145,10 @@ class Scheduler:
                 if not sp.ignore_eos and token_id in stop_ids:
                     seq.finish_reason = "stop"
                     break
-                if seq.num_completion_tokens >= sp.max_tokens:
+                if (
+                    seq.num_completion_tokens >= sp.max_tokens
+                    or len(seq) >= self.config.max_model_len
+                ):
                     seq.finish_reason = "length"
                     break
             self.block_manager.seal_full_blocks(seq)

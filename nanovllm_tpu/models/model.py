@@ -786,6 +786,7 @@ def flush_burst_stash(
     positions0: jnp.ndarray,    # [B] position of the burst's FIRST token
     active: jnp.ndarray,        # [B] bool
     block_size: int,
+    max_positions: int = 0,     # >0: drop writes at/past this position
 ) -> dict:
     """Write the whole burst's K/V into the pool with ONE scatter per tensor
     (every layer, step and lane at once)."""
@@ -796,7 +797,12 @@ def flush_burst_stash(
     pos = positions0[None, :] + jnp.arange(J, dtype=jnp.int32)[:, None]  # [J, B]
     blk = jnp.take_along_axis(block_tables, (pos // bs).T, axis=1).T  # [J, B]
     rows = blk * bs + pos % bs  # per-layer slot ids [J, B]
-    rows = jnp.where(active[None, :], rows, nslots)
+    keep = active[None, :]
+    if max_positions:
+        # Positions past the model limit have no allocated block (generation
+        # is clamped there) — drop them rather than write via a clamped index.
+        keep = keep & (pos < max_positions)
+    rows = jnp.where(keep, rows, nslots)
     rows_all = rows[None, :, :] + (jnp.arange(L, dtype=jnp.int32) * nslots)[:, None, None]
     rows_all = jnp.where(rows[None, :, :] >= nslots, total, rows_all).reshape(-1)
     out = dict(pool)
