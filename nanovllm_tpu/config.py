@@ -284,6 +284,11 @@ class EngineConfig:
             raise ValueError(f"unsupported quantization {self.quantization}")
         if not 1 <= self.tensor_parallel_size <= 256:
             raise ValueError("tensor_parallel_size out of range")
+        if self.data_parallel_size > 1 and self.max_decode_slots % self.data_parallel_size != 0:
+            raise ValueError(
+                "max_decode_slots must be divisible by data_parallel_size "
+                f"({self.max_decode_slots} % {self.data_parallel_size})"
+            )
 
     def replace(self, **kw) -> "EngineConfig":
         return dataclasses.replace(self, **kw)

@@ -10,9 +10,12 @@ SURVEY.md §2.5-4) is fixed: outputs are keyed by sequence id.
 
 from __future__ import annotations
 
+import logging
 import threading
 import time
 from typing import Optional, Protocol, Sequence as Seq, Union
+
+_logger = logging.getLogger("nanovllm_tpu.engine")
 
 from nanovllm_tpu.config import EngineConfig, ModelConfig
 from nanovllm_tpu.utils.metrics import MetricsRegistry, StepLogger
@@ -143,7 +146,15 @@ class LLMEngine:
         lens_before = {s.seq_id: len(s) for s in seqs}
         try:
             token_ids = self.runner.run(seqs, is_prefill)
-        except Exception:
+        except RuntimeError:
+            # Only runtime/device errors (jax.errors.JaxRuntimeError is a
+            # RuntimeError) enter the retry path; deterministic bugs
+            # (shape/tracer/host errors) propagate immediately instead of
+            # burning retries and surfacing as per-request errors.
+            _logger.exception(
+                "device step failed (%s, %d seqs); entering retry path",
+                "prefill" if is_prefill else "decode", len(seqs),
+            )
             outputs = self._handle_step_failure(seqs)
             if outputs is None:
                 raise
@@ -230,7 +241,11 @@ class LLMEngine:
                 if seq.retries > self.engine_cfg.max_retries_per_request:
                     seq.finish_reason = "error"
                     self._release_sequence(seq)
-                    outputs.append(RequestOutput(seq, ""))
+                    # Keep whatever was generated before the failure — the
+                    # tokens are in seq.token_ids even though the failing
+                    # step's burst never landed.
+                    partial = self.tokenizer.decode(seq.completion_token_ids)
+                    outputs.append(RequestOutput(seq, partial))
                     self._seqs.pop(seq.seq_id, None)
                     self._arrival.pop(seq.seq_id, None)
                     self._first_token.pop(seq.seq_id, None)

@@ -168,20 +168,33 @@ class TPUModelRunner:
         }
         self.step_counter = 0
 
-        # Under a mesh, every step input becomes a GLOBAL replicated array
-        # (device_put with a NamedSharding spanning the mesh) — required for
-        # multi-controller SPMD, harmless single-host. Persistent device state
-        # (history, sampling rows) is placed replicated once at init.
+        # Under a mesh, every step input becomes a GLOBAL array (device_put
+        # with a NamedSharding spanning the mesh) — required for
+        # multi-controller SPMD. Scalars/small tables are replicated; the
+        # decode-lane dimension [S] is SHARDED over the mesh 'data' axis when
+        # data_parallel_size > 1, so each DP replica computes only its own
+        # S/dp lanes (real data parallelism — the capability the reference's
+        # dead TensorParallelSize field only pretended to have,
+        # /root/reference/nanovllm/config.go:15). Persistent per-lane device
+        # state (history, sampling rows) is placed lane-sharded once at init.
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
+            from nanovllm_tpu.parallel.mesh import DATA_AXIS
 
             self._rep = NamedSharding(mesh, PartitionSpec())
-            self.history = jax.device_put(self.history, self._rep)
+            dp = dict(mesh.shape).get(DATA_AXIS, 1)
+            if dp > 1 and S % dp == 0:
+                self._lane = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+                self._lane2 = NamedSharding(mesh, PartitionSpec(DATA_AXIS, None))
+            else:
+                self._lane = self._lane2 = self._rep
+            self.history = jax.device_put(self.history, self._lane2)
             self.d_sampling = {
-                k: jax.device_put(v, self._rep) for k, v in self.d_sampling.items()
+                k: jax.device_put(v, self._lane) for k, v in self.d_sampling.items()
             }
         else:
             self._rep = None
+            self._lane = self._lane2 = None
 
         self.max_blocks_per_seq = math.ceil(engine_cfg.max_model_len / bs)
         self._prefill_cache: dict = {}
@@ -254,7 +267,7 @@ class TPUModelRunner:
                     ).astype(jnp.int32)
                     logits, pool, mamba = M.decode_step(
                         params, cfg, tokens, positions, ctx, block_tables,
-                        slot_mapping, pool, mamba, bs,
+                        slot_mapping, pool, mamba, bs, valid_mask=active,
                     )
                     sampled = sampling_ops.sample(
                         logits.astype(jnp.float32), history, hist_lens,
@@ -337,6 +350,7 @@ class TPUModelRunner:
                     logits, stash, mamba = M.decode_step_burst(
                         params, cfg, tokens, positions, context_lens0, i,
                         block_tables, pool, stash, mamba, bs, k_pre, v_pre,
+                        valid_mask=active,
                     )
                     sampled = sampling_ops.sample(
                         logits.astype(jnp.float32), history, hist_lens,

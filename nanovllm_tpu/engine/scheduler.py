@@ -42,7 +42,19 @@ class Scheduler:
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
         self.num_preemptions = 0
-        self.free_slots: list[int] = list(range(config.max_decode_slots - 1, -1, -1))
+        # Slot handout order. Under data parallelism the decode batch dim is
+        # sharded over the mesh 'data' axis in contiguous chunks of
+        # S/dp lanes, so slots are dealt round-robin ACROSS replica chunks —
+        # K concurrent requests land on min(K, dp) replicas instead of all
+        # filling replica 0's chunk first.
+        S = config.max_decode_slots
+        dp = max(1, config.data_parallel_size)
+        if dp > 1 and S % dp == 0:
+            chunk = S // dp
+            order = [r * chunk + i for i in range(chunk) for r in range(dp)]
+        else:
+            order = list(range(S))
+        self.free_slots: list[int] = list(reversed(order))
 
     def add(self, seq: Sequence) -> None:
         self.waiting.append(seq)

@@ -240,9 +240,12 @@ def _mlp_forward(cfg: ModelConfig, p: dict, x: jnp.ndarray) -> jnp.ndarray:
     return linear(p["down"], h)
 
 
-def _ffn_forward(cfg: ModelConfig, blk: dict, x: jnp.ndarray) -> jnp.ndarray:
+def _ffn_forward(
+    cfg: ModelConfig, blk: dict, x: jnp.ndarray,
+    valid_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     if "moe" in blk:
-        return moe_ops.moe_forward(cfg, blk["moe"], x)
+        return moe_ops.moe_forward(cfg, blk["moe"], x, valid_mask)
     return _mlp_forward(cfg, blk["mlp"], x)
 
 
@@ -397,6 +400,8 @@ def prefill_chunk(
     handled uniformly, and the pool is the single source of truth.
     """
     x = _embed(cfg, params, tokens, positions)
+    # Real (non-padding) rows — excludes them from MoE capacity dispatch.
+    vmask = jnp.arange(tokens.shape[0], dtype=jnp.int32) < valid_len
     S = block_table.shape[0] * block_size
     k_positions = jnp.arange(S, dtype=jnp.int32)
     nslots = pool["k"].shape[0] // cfg.num_layers
@@ -433,11 +438,11 @@ def prefill_chunk(
         if cfg.block_style == BlockStyle.PARALLEL:
             # Falcon: x + attn(ln x) + ffn(ln x), single shared LN.
             h2 = h if cfg.parallel_single_ln else apply_norm(blk["ln2"], x, cfg.norm_eps)
-            x = _residual_add(cfg, x, attn_out + _ffn_forward(cfg, blk, h2))
+            x = _residual_add(cfg, x, attn_out + _ffn_forward(cfg, blk, h2, vmask))
         else:
             x = _residual_add(cfg, x, attn_out)
             h2 = apply_norm(blk["ln2"], x, cfg.norm_eps)
-            x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h2))
+            x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h2, vmask))
         return x, pool
 
     if not isinstance(params["blocks"], list):
@@ -463,7 +468,7 @@ def prefill_chunk(
                 )
                 x = _residual_add(cfg, x, h)
                 h = apply_norm(blk["ln2"], x, cfg.norm_eps)
-                x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h))
+                x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h, vmask))
                 continue
             x, pool = attn_layer(blk, x, pool, i, _use_rope(cfg, i))
 
@@ -499,6 +504,8 @@ def prefill_batch(
 
     N, T = tokens.shape
     x = _embed(cfg, params, tokens.reshape(-1), positions.reshape(-1))  # [N*T, E]
+    # Real rows per sequence (each row i of seq n is valid iff i < valid_lens[n]).
+    vmask = (jnp.arange(T, dtype=jnp.int32)[None, :] < valid_lens[:, None]).reshape(-1)
     S = block_tables.shape[1] * block_size
     k_positions = jnp.arange(S, dtype=jnp.int32)
     nslots = pool["k"].shape[0] // cfg.num_layers
@@ -535,11 +542,11 @@ def prefill_batch(
         attn_out = linear(blk["attn"]["o"], attn)
         if cfg.block_style == BlockStyle.PARALLEL:
             h2 = h if cfg.parallel_single_ln else apply_norm(blk["ln2"], x, cfg.norm_eps)
-            x = _residual_add(cfg, x, attn_out + _ffn_forward(cfg, blk, h2))
+            x = _residual_add(cfg, x, attn_out + _ffn_forward(cfg, blk, h2, vmask))
         else:
             x = _residual_add(cfg, x, attn_out)
             h2 = apply_norm(blk["ln2"], x, cfg.norm_eps)
-            x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h2))
+            x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h2, vmask))
         return x, pool
 
     if not isinstance(params["blocks"], list):
@@ -580,9 +587,11 @@ def decode_step(
     pool: dict,
     mamba_state: dict | None = None,
     block_size: int = 16,
+    valid_mask: jnp.ndarray | None = None,  # [B] active lanes
 ):
     """One batched decode step; returns (logits [B, V], pool, mamba_state)."""
     x = _embed(cfg, params, tokens, positions)  # [B, E]
+    vmask = valid_mask
     nslots = pool["k"].shape[0] // cfg.num_layers
     nblocks = nslots // block_size
     cos_sin = None
@@ -616,11 +625,11 @@ def decode_step(
         attn_out = linear(blk["attn"]["o"], attn.reshape(B, -1))
         if cfg.block_style == BlockStyle.PARALLEL:
             h2 = h if cfg.parallel_single_ln else apply_norm(blk["ln2"], x, cfg.norm_eps)
-            x = _residual_add(cfg, x, attn_out + _ffn_forward(cfg, blk, h2))
+            x = _residual_add(cfg, x, attn_out + _ffn_forward(cfg, blk, h2, vmask))
         else:
             x = _residual_add(cfg, x, attn_out)
             h2 = apply_norm(blk["ln2"], x, cfg.norm_eps)
-            x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h2))
+            x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h2, vmask))
         return x, pool
 
     if not isinstance(params["blocks"], list):
@@ -640,7 +649,7 @@ def decode_step(
                 h, mamba_state = mamba_ops.mamba2_decode(cfg, blk["mamba"], h, mamba_state, i)
                 x = _residual_add(cfg, x, h)
                 h = apply_norm(blk["ln2"], x, cfg.norm_eps)
-                x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h))
+                x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h, vmask))
                 continue
             x, pool = attn_layer(blk, x, pool, i, _use_rope(cfg, i))
 
@@ -707,6 +716,7 @@ def decode_step_burst(
     block_size: int = 16,
     k_ctx_pre: jnp.ndarray | None = None,  # [L, B, S, Hkv, D] hoisted gather
     v_ctx_pre: jnp.ndarray | None = None,
+    valid_mask: jnp.ndarray | None = None,  # [B] active lanes
 ):
     """One decode step of a deferred burst; returns (logits, stash,
     mamba_state). The pool is not written — call flush_burst_stash after the
@@ -714,6 +724,7 @@ def decode_step_burst(
     from nanovllm_tpu.ops.attention import attention_decode_stashed
 
     x = _embed(cfg, params, tokens, positions)
+    vmask = valid_mask
     nslots = pool["k"].shape[0] // cfg.num_layers
     cos_sin = None
     if cfg.position_type == PositionType.ROPE:
@@ -746,11 +757,11 @@ def decode_step_burst(
         attn_out = linear(blk["attn"]["o"], attn.reshape(B, -1))
         if cfg.block_style == BlockStyle.PARALLEL:
             h2 = h if cfg.parallel_single_ln else apply_norm(blk["ln2"], x, cfg.norm_eps)
-            x = _residual_add(cfg, x, attn_out + _ffn_forward(cfg, blk, h2))
+            x = _residual_add(cfg, x, attn_out + _ffn_forward(cfg, blk, h2, vmask))
         else:
             x = _residual_add(cfg, x, attn_out)
             h2 = apply_norm(blk["ln2"], x, cfg.norm_eps)
-            x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h2))
+            x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h2, vmask))
         return x, stash
 
     if not isinstance(params["blocks"], list):
@@ -770,7 +781,7 @@ def decode_step_burst(
                 h, mamba_state = mamba_ops.mamba2_decode(cfg, blk["mamba"], h, mamba_state, i)
                 x = _residual_add(cfg, x, h)
                 h = apply_norm(blk["ln2"], x, cfg.norm_eps)
-                x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h))
+                x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h, vmask))
                 continue
             x, stash = attn_layer(blk, x, stash, i, _use_rope(cfg, i))
 

@@ -64,18 +64,28 @@ def _expert_glu(cfg: ModelConfig, p: dict, xe: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def moe_forward_dispatch(cfg: ModelConfig, p: dict, x: jnp.ndarray, capacity: int) -> jnp.ndarray:
+def moe_forward_dispatch(
+    cfg: ModelConfig, p: dict, x: jnp.ndarray, capacity: int,
+    valid_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
     """Capacity-bounded sorted dispatch: gather each expert's (at most
     `capacity`) assigned tokens into an expert-major [X, C, E_hid] batch, run
     the GLU once per expert row, gather results back per (token, k) slot.
     Compute scales with T*k*factor instead of T*X — the EP-scalable path
     (SURVEY §7 hard-part #4). Tokens past an expert's capacity lose that
-    expert's contribution (their top_w stays renormalized over all k)."""
+    expert's contribution (their top_w stays renormalized over all k).
+    `valid_mask` [T] excludes padding rows (prefill tail padding / inactive
+    decode lanes) from the dispatch so they never consume capacity slots."""
     T, Eh = x.shape
     X, k, C = cfg.num_experts, cfg.num_experts_per_tok, capacity
     top_w, top_i = _route(cfg, p, x)
 
     e_flat = top_i.reshape(-1)                               # [T*k]
+    if valid_mask is not None:
+        # Route invalid rows to the out-of-range expert id X: their one-hot
+        # row is all zeros (no capacity consumed) and their dispatch slot is
+        # the OOB sentinel, so the gather-back yields exactly zero for them.
+        e_flat = jnp.where(jnp.repeat(valid_mask, k), e_flat, X)
     w_flat = top_w.reshape(-1)
     tok_flat = jnp.repeat(jnp.arange(T, dtype=jnp.int32), k)
     onehot = jax.nn.one_hot(e_flat, X, dtype=jnp.int32)      # [T*k, X]
@@ -98,8 +108,13 @@ def moe_forward_dispatch(cfg: ModelConfig, p: dict, x: jnp.ndarray, capacity: in
     return out.astype(x.dtype)
 
 
-def moe_forward(cfg: ModelConfig, p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """x [T, E_hid] -> [T, E_hid]."""
+def moe_forward(
+    cfg: ModelConfig, p: dict, x: jnp.ndarray,
+    valid_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """x [T, E_hid] -> [T, E_hid]. `valid_mask` [T] marks real rows; padding
+    rows are excluded from capacity-bounded dispatch (the dense path computes
+    them harmlessly — their outputs are discarded downstream)."""
     from nanovllm_tpu.ops.linear import linear
 
     T = x.shape[0]
@@ -109,7 +124,7 @@ def moe_forward(cfg: ModelConfig, p: dict, x: jnp.ndarray) -> jnp.ndarray:
 
         C = math.ceil(T * k / cfg.num_experts * cfg.moe_capacity_factor)
         C = min(max(8 * math.ceil(C / 8), 8), T)  # sublane-pad, never beyond T
-        out = moe_forward_dispatch(cfg, p, x, C)
+        out = moe_forward_dispatch(cfg, p, x, C, valid_mask)
         if "shared" in p:
             from nanovllm_tpu.ops.activations import swiglu
 

@@ -56,11 +56,11 @@ def _ring_body(q, k, v, q_pos, k_pos, scale, axis, sliding_window):
     Hkv = k.shape[-2]
     G = H // Hkv
 
-    # pvary: the carry must be marked device-varying over the ring axis up
+    # pcast(to='varying'): the carry must be marked device-varying over the ring axis up
     # front (the loop writes varying values into it).
-    m = jax.lax.pvary(jnp.full((Hkv, G, Tl, 1), NEG_INF, jnp.float32), (axis,))
-    l = jax.lax.pvary(jnp.zeros((Hkv, G, Tl, 1), jnp.float32), (axis,))
-    acc = jax.lax.pvary(jnp.zeros((Hkv, G, Tl, D), jnp.float32), (axis,))
+    m = jax.lax.pcast(jnp.full((Hkv, G, Tl, 1), NEG_INF, jnp.float32), (axis,), to='varying')
+    l = jax.lax.pcast(jnp.zeros((Hkv, G, Tl, 1), jnp.float32), (axis,), to='varying')
+    acc = jax.lax.pcast(jnp.zeros((Hkv, G, Tl, D), jnp.float32), (axis,), to='varying')
     perm = [(i, (i + 1) % P_) for i in range(P_)]
 
     def step(i, carry):

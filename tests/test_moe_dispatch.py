@@ -56,6 +56,31 @@ def test_capacity_drop_semantics():
     assert np.abs(np.asarray(out)[1]).max() == 0.0
 
 
+def test_padding_rows_do_not_consume_capacity():
+    """Prefill tail padding / inactive decode lanes must not evict real
+    tokens from an expert's capacity window (ADVICE r2 medium). Identical
+    pad rows route to the same expert as the real token placed LAST in flat
+    order; without the mask they'd fill capacity before it."""
+    cfg = make_cfg(num_experts=4, num_experts_per_tok=1, moe_router_renormalize=False)
+    rng = np.random.default_rng(3)
+    p = moe_ops.init_moe_params(cfg, rng)
+    p = {k: jnp.asarray(v) if not isinstance(v, dict) else v for k, v in p.items()}
+    row = rng.standard_normal((1, cfg.hidden_size)).astype(np.float32)
+    # 7 pad rows (same routing as the real row) then the real row last.
+    x = jnp.asarray(np.concatenate([np.repeat(row, 7, axis=0), row], axis=0))
+    mask = jnp.asarray(np.array([False] * 7 + [True]))
+
+    dense = moe_ops.moe_forward(cfg, p, x)
+    out = moe_ops.moe_forward_dispatch(cfg, p, x, capacity=2, valid_mask=mask)
+    # The real (last) row keeps its expert contribution...
+    np.testing.assert_allclose(np.asarray(out)[-1], np.asarray(dense)[-1], rtol=1e-5, atol=1e-5)
+    # ...and masked rows produce exactly zero (dropped from dispatch).
+    assert np.abs(np.asarray(out)[:7]).max() == 0.0
+    # Sanity: without the mask, capacity 2 drops the real row entirely.
+    unmasked = moe_ops.moe_forward_dispatch(cfg, p, x, capacity=2)
+    assert np.abs(np.asarray(unmasked)[-1]).max() == 0.0
+
+
 def test_dispatch_under_expert_sharding():
     """The dispatch path must produce identical results when the expert
     weights are sharded over a mesh axis (EP)."""
