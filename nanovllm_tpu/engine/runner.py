@@ -104,17 +104,20 @@ class TPUModelRunner:
         params: Optional[dict] = None,
         num_kv_blocks: Optional[int] = None,
         mesh=None,
+        params_global: bool = False,
     ):
         self.mcfg = model_cfg
         self.ecfg = engine_cfg
         self.mesh = mesh
         self.params = params if params is not None else M.init_params(model_cfg)
-        if engine_cfg.scan_layers and not model_cfg.is_hybrid:
+        if engine_cfg.scan_layers and not model_cfg.is_hybrid and not params_global:
             # Layer-stacked params => scan-over-layers forward (compiles the
             # layer body once instead of num_layers inlined copies; trades
             # ~30% decode throughput — see EngineConfig.scan_layers).
             self.params = M.stack_blocks(self.params)
-        if mesh is not None:
+        if mesh is not None and not params_global:
+            # params_global: already assembled as global sharded jax.Arrays
+            # by io/shard_loader (per-host shard reading) — nothing to place.
             from nanovllm_tpu.parallel import shard_params
 
             self.params = shard_params(self.params, model_cfg, mesh)
@@ -135,9 +138,22 @@ class TPUModelRunner:
             quantized=engine_cfg.kv_cache_dtype == "int8",
         )
         if mesh is not None:
+            from jax.sharding import NamedSharding
             from nanovllm_tpu.parallel import shard_pool
+            from nanovllm_tpu.parallel.shardings import pool_specs
 
             self.pool = shard_pool(self.pool, model_cfg, mesh)
+            # Output-sharding anchors for the jitted steps: the pool must
+            # come back exactly as placed (model-axis sharded, replicated
+            # over 'data') so donation round-trips without resharding.
+            self._pool_sh = {
+                k: NamedSharding(mesh, v)
+                for k, v in pool_specs(
+                    model_cfg, mesh, engine_cfg.kv_cache_dtype == "int8"
+                ).items()
+            }
+        else:
+            self._pool_sh = None
         self.mamba_state = (
             mamba_ops.create_mamba_state(model_cfg, S) if model_cfg.is_hybrid else None
         )
@@ -183,11 +199,25 @@ class TPUModelRunner:
 
             self._rep = NamedSharding(mesh, PartitionSpec())
             dp = dict(mesh.shape).get(DATA_AXIS, 1)
+            self._dp = dp
             if dp > 1 and S % dp == 0:
                 self._lane = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
                 self._lane2 = NamedSharding(mesh, PartitionSpec(DATA_AXIS, None))
+                # Decode-time sampling runs UNDER shard_map over 'data': each
+                # replica samples only its own lanes. Without this, GSPMD's
+                # scatter partitioner lowers the repetition-penalty
+                # count-scatter as replicate+all-reduce of the full [B, V]
+                # logits — a per-step collective that scales with vocab.
+                d = PartitionSpec(DATA_AXIS)
+                d2 = PartitionSpec(DATA_AXIS, None)
+                self._sample_op = jax.shard_map(
+                    sampling_ops.sample, mesh=mesh,
+                    in_specs=(d2, d2, d, d, d, d, d, d, PartitionSpec()),
+                    out_specs=d, check_vma=False,
+                )
             else:
                 self._lane = self._lane2 = self._rep
+                self._sample_op = sampling_ops.sample
             self.history = jax.device_put(self.history, self._lane2)
             self.d_sampling = {
                 k: jax.device_put(v, self._lane) for k, v in self.d_sampling.items()
@@ -195,6 +225,8 @@ class TPUModelRunner:
         else:
             self._rep = None
             self._lane = self._lane2 = None
+            self._dp = 1
+            self._sample_op = sampling_ops.sample
 
         self.max_blocks_per_seq = math.ceil(engine_cfg.max_model_len / bs)
         self._prefill_cache: dict = {}
@@ -209,11 +241,12 @@ class TPUModelRunner:
         else:
             self._sample_fn = jax.jit(sampling_ops.sample)
 
-    def _dev(self, x):
-        """Host value -> device array (global replicated when on a mesh)."""
+    def _dev(self, x, sharding=None):
+        """Host value -> device array (global when on a mesh; `sharding`
+        overrides the default replicated placement, e.g. lane-sharded)."""
         if self._rep is None:
             return jnp.asarray(x)
-        return jax.device_put(np.asarray(x), self._rep)
+        return jax.device_put(np.asarray(x), sharding or self._rep)
 
     # ---- compiled-program factories -------------------------------------
 
@@ -245,6 +278,8 @@ class TPUModelRunner:
             bs = self.ecfg.kv_block_size
             Lh = self.hist_capacity
             rep = self._rep
+            lane, lane2, pool_sh = self._lane, self._lane2, self._pool_sh
+            sample_op = self._sample_op
             max_len = self.ecfg.max_model_len
 
             nslots = self.num_slots_flat
@@ -269,7 +304,7 @@ class TPUModelRunner:
                         params, cfg, tokens, positions, ctx, block_tables,
                         slot_mapping, pool, mamba, bs, valid_mask=active,
                     )
-                    sampled = sampling_ops.sample(
+                    sampled = sample_op(
                         logits.astype(jnp.float32), history, hist_lens,
                         sampling["temps"], sampling["topks"], sampling["topps"],
                         sampling["reps"], sampling["seeds"], step0 + i,
@@ -296,6 +331,20 @@ class TPUModelRunner:
                     # Multi-controller: sampled tokens must be fully
                     # replicated so every process can device_get them.
                     ys = jax.lax.with_sharding_constraint(ys, rep)
+                if lane is not None and lane is not rep:
+                    # DP: per-lane state stays lane-sharded; the pool stays
+                    # as placed (replicated over 'data') so each replica's
+                    # KV writes are reconciled by an all-gather of the
+                    # (small) updates, not a resharding of the pool.
+                    history = jax.lax.with_sharding_constraint(history, lane2)
+                    sampling_out = {
+                        k: jax.lax.with_sharding_constraint(v, lane)
+                        for k, v in sampling_out.items()
+                    }
+                    pool = {
+                        k: jax.lax.with_sharding_constraint(v, pool_sh[k])
+                        for k, v in pool.items()
+                    }
                 return ys, pool, mamba_state, history, sampling_out
 
             self._decode_cache[key] = jax.jit(fn, donate_argnums=(6, 7, 8, 9))
@@ -334,6 +383,8 @@ class TPUModelRunner:
         if key not in self._decode_cache:
             Lh = self.hist_capacity
             rep = self._rep
+            lane, lane2, pool_sh = self._lane, self._lane2, self._pool_sh
+            sample_op = self._sample_op
 
             def fn(params, tokens0, positions0, context_lens0, active, block_tables,
                    pool, mamba_state, history, sampling, step0):
@@ -352,7 +403,7 @@ class TPUModelRunner:
                         block_tables, pool, stash, mamba, bs, k_pre, v_pre,
                         valid_mask=active,
                     )
-                    sampled = sampling_ops.sample(
+                    sampled = sample_op(
                         logits.astype(jnp.float32), history, hist_lens,
                         sampling["temps"], sampling["topks"], sampling["topps"],
                         sampling["reps"], sampling["seeds"], step0 + i,
@@ -378,6 +429,16 @@ class TPUModelRunner:
                 sampling_out["hist_lens"] = hist_lens
                 if rep is not None:
                     ys = jax.lax.with_sharding_constraint(ys, rep)
+                if lane is not None and lane is not rep:
+                    history = jax.lax.with_sharding_constraint(history, lane2)
+                    sampling_out = {
+                        k: jax.lax.with_sharding_constraint(v, lane)
+                        for k, v in sampling_out.items()
+                    }
+                    pool = {
+                        k: jax.lax.with_sharding_constraint(v, pool_sh[k])
+                        for k, v in pool.items()
+                    }
                 return ys, pool, mamba_state, history, sampling_out
 
             self._decode_cache[key] = jax.jit(fn, donate_argnums=(6, 7, 8, 9))
@@ -407,12 +468,26 @@ class TPUModelRunner:
         if key not in self._prefill_cache:
             cfg = self.mcfg
             bs = self.ecfg.kv_block_size
+            rep = self._rep
+            lane, pool_sh = self._lane, self._pool_sh
 
             def fn(params, tokens, positions, valid_lens, context_lens, block_tables, slot_mapping, pool):
-                return M.prefill_batch(
+                logits, pool = M.prefill_batch(
                     params, cfg, tokens, positions, valid_lens, context_lens,
                     block_tables, slot_mapping, pool, bs,
                 )
+                if rep is not None:
+                    # Last-token logits are tiny: replicate them so host-side
+                    # row slicing works identically under any mesh; anchor
+                    # the pool back to its placement (DP-sharded groups
+                    # reconcile their KV writes via an update all-gather).
+                    logits = jax.lax.with_sharding_constraint(logits, rep)
+                    if lane is not None and lane is not rep:
+                        pool = {
+                            k: jax.lax.with_sharding_constraint(v, pool_sh[k])
+                            for k, v in pool.items()
+                        }
+                return logits, pool
 
             self._prefill_cache[key] = jax.jit(fn, donate_argnums=(7,))
         return self._prefill_cache[key]
@@ -439,11 +514,18 @@ class TPUModelRunner:
                 block_tables[i], start, len(chunk), self.block_size, Tb, self.num_slots_flat
             )
         fn = self._get_prefill_batch(Nb, Tb, nb)
+        # DP: shard the group's batch dim over 'data' when it divides evenly
+        # (each replica prefills Nb/dp sequences); otherwise replicate.
+        if self._lane is not None and self._lane is not self._rep and Nb % self._dp == 0:
+            row, row2 = self._lane, self._lane2
+        else:
+            row = row2 = self._rep
         logits, self.pool = fn(
             self.params,
-            self._dev(tokens), self._dev(positions), self._dev(valid_lens),
-            self._dev(context_lens), self._dev(block_tables),
-            self._dev(slot_mapping.reshape(-1)), self.pool,
+            self._dev(tokens, row2), self._dev(positions, row2),
+            self._dev(valid_lens, row), self._dev(context_lens, row),
+            self._dev(block_tables, row2),
+            self._dev(slot_mapping.reshape(-1), row), self.pool,
         )
         return [logits[i] for i in range(n)]
 
@@ -590,11 +672,11 @@ class TPUModelRunner:
         self.step_counter += n_steps
         ys, self.pool, new_mamba, self.history, self.d_sampling = fn(
             self.params,
-            self._dev(tokens),
-            self._dev(positions),
-            self._dev(context_lens),
-            self._dev(active),
-            self._dev(block_tables),
+            self._dev(tokens, self._lane),
+            self._dev(positions, self._lane),
+            self._dev(context_lens, self._lane),
+            self._dev(active, self._lane),
+            self._dev(block_tables, self._lane2),
             self.pool,
             self.mamba_state,
             self.history,
