@@ -37,6 +37,8 @@ class LLM:
         ecfg = engine_config or EngineConfig(**engine_kwargs)
         mcfg = model_config
 
+        prebuilt_mesh = None
+        params_global = False
         if model is not None:
             from nanovllm_tpu.io.loader import load_model_dir
             from nanovllm_tpu.tokenizer import load_tokenizer
@@ -45,10 +47,31 @@ class LLM:
             # own shards (no full replicated staging copy in HBM).
             sharded = ecfg.tensor_parallel_size * ecfg.data_parallel_size > 1
             fuse = ecfg.fuse_qkv if ecfg.fuse_qkv is not None else not sharded
-            mcfg, params = load_model_dir(
-                model, quantization=ecfg.quantization, device=not sharded,
-                fuse_qkv=fuse,
-            )
+            import jax
+
+            if sharded and jax.process_count() > 1:
+                # Multi-host: stream-read only THIS process's weight shard
+                # (per-host shard loading — io/shard_loader.py); params come
+                # back as assembled global jax.Arrays.
+                from nanovllm_tpu.io.shard_loader import (
+                    assemble_global_params, load_host_shard,
+                )
+                from nanovllm_tpu.parallel import make_mesh
+
+                prebuilt_mesh = make_mesh(
+                    tp_size=ecfg.tensor_parallel_size,
+                    dp_size=ecfg.data_parallel_size,
+                )
+                mcfg, local, lspecs = load_host_shard(
+                    model, prebuilt_mesh, quantization=ecfg.quantization
+                )
+                params = assemble_global_params(local, lspecs, mcfg, prebuilt_mesh)
+                params_global = True
+            else:
+                mcfg, params = load_model_dir(
+                    model, quantization=ecfg.quantization, device=not sharded,
+                    fuse_qkv=fuse,
+                )
             if tokenizer is None:
                 tokenizer = load_tokenizer(model)
 
@@ -75,15 +98,17 @@ class LLM:
                 # build the device mesh the runner shards over (the reference
                 # carried a TensorParallelSize field that nothing ever read —
                 # /root/reference/nanovllm/config.go:15, SURVEY.md §2).
-                mesh = None
-                if ecfg.tensor_parallel_size * ecfg.data_parallel_size > 1:
+                mesh = prebuilt_mesh
+                if mesh is None and ecfg.tensor_parallel_size * ecfg.data_parallel_size > 1:
                     from nanovllm_tpu.parallel import make_mesh
 
                     mesh = make_mesh(
                         tp_size=ecfg.tensor_parallel_size,
                         dp_size=ecfg.data_parallel_size,
                     )
-                runner = TPUModelRunner(mcfg, ecfg, params=params, mesh=mesh)
+                runner = TPUModelRunner(
+                    mcfg, ecfg, params=params, mesh=mesh, params_global=params_global
+                )
 
         self.engine = LLMEngine(mcfg, ecfg, runner=runner, tokenizer=tokenizer)
         self.model_config = mcfg

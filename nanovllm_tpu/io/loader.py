@@ -95,15 +95,17 @@ def _norm(sd: dict, key: str) -> dict:
     return p
 
 
-def convert_gpt2(sd: dict, cfg: ModelConfig) -> dict:
-    E = cfg.hidden_size
-    params = {
+def _gpt2_prelude(sd: dict, cfg: ModelConfig) -> dict:
+    return {
         "embed": sd["transformer.wte.weight"],
         "pos_embed": sd["transformer.wpe.weight"],
         "final_norm": _norm(sd, "transformer.ln_f"),
         "blocks": [],
     }
-    for i in range(cfg.num_layers):
+
+
+def _gpt2_block(sd: dict, cfg: ModelConfig, i: int) -> dict:
+    if True:
         p = f"transformer.h.{i}"
         w = sd[f"{p}.attn.c_attn.weight"]  # [E, 3E] fused (Conv1D layout)
         b = sd.get(f"{p}.attn.c_attn.bias")
@@ -127,11 +129,10 @@ def convert_gpt2(sd: dict, cfg: ModelConfig) -> dict:
             blk["attn"]["q"]["b"] = qb
             blk["attn"]["k"]["b"] = kb
             blk["attn"]["v"]["b"] = vb
-        params["blocks"].append(blk)
-    return params
+        return blk
 
 
-def convert_llama(sd: dict, cfg: ModelConfig) -> dict:
+def _llama_prelude(sd: dict, cfg: ModelConfig) -> dict:
     """Llama 3.x / Mistral (same key schema; reference :99-117)."""
     params = {
         "embed": sd["model.embed_tokens.weight"],
@@ -140,7 +141,11 @@ def convert_llama(sd: dict, cfg: ModelConfig) -> dict:
     }
     if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
         params["lm_head"] = _lin_t(sd, "lm_head.weight")
-    for i in range(cfg.num_layers):
+    return params
+
+
+def _llama_block(sd: dict, cfg: ModelConfig, i: int) -> dict:
+    if True:
         p = f"model.layers.{i}"
         gate = sd[f"{p}.mlp.gate_proj.weight"].T  # [E, I]
         up = sd[f"{p}.mlp.up_proj.weight"].T
@@ -159,8 +164,7 @@ def convert_llama(sd: dict, cfg: ModelConfig) -> dict:
                 "down": _lin_t(sd, f"{p}.mlp.down_proj.weight"),
             },
         }
-        params["blocks"].append(blk)
-    return params
+        return blk
 
 
 def split_falcon_qkv(
@@ -186,7 +190,7 @@ def split_falcon_qkv(
     return q, k, v
 
 
-def convert_falcon(sd: dict, cfg: ModelConfig) -> dict:
+def _falcon_prelude(sd: dict, cfg: ModelConfig) -> dict:
     params = {
         "embed": sd["transformer.word_embeddings.weight"],
         "final_norm": _norm(sd, "transformer.ln_f"),
@@ -194,11 +198,15 @@ def convert_falcon(sd: dict, cfg: ModelConfig) -> dict:
     }
     if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
         params["lm_head"] = _lin_t(sd, "lm_head.weight")
+    return params
+
+
+def _falcon_block(sd: dict, cfg: ModelConfig, i: int) -> dict:
     # Falcon-40B ("new decoder architecture") has separate ln_attn/ln_mlp and
     # a per-KV-group interleaved fused QKV; Falcon-7B has a single
     # input_layernorm and a plain [Q..., K, V] split.
     new_arch = "transformer.h.0.ln_attn.weight" in sd
-    for i in range(cfg.num_layers):
+    if True:
         p = f"transformer.h.{i}"
         qkv = sd[f"{p}.self_attention.query_key_value.weight"]
         q, k, v = split_falcon_qkv(
@@ -219,11 +227,10 @@ def convert_falcon(sd: dict, cfg: ModelConfig) -> dict:
         }
         if new_arch:
             blk["ln2"] = _norm(sd, f"{p}.ln_mlp")
-        params["blocks"].append(blk)
-    return params
+        return blk
 
 
-def convert_granite_moe(sd: dict, cfg: ModelConfig) -> dict:
+def _granite_moe_prelude(sd: dict, cfg: ModelConfig) -> dict:
     """Granite 3.0 MoE (reference :119-143). Expert weights are stored
     expert-major [X, out, in] — transposed here to [X, in, out]."""
     params = {
@@ -233,7 +240,11 @@ def convert_granite_moe(sd: dict, cfg: ModelConfig) -> dict:
     }
     if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
         params["lm_head"] = _lin_t(sd, "lm_head.weight")
-    for i in range(cfg.num_layers):
+    return params
+
+
+def _granite_moe_block(sd: dict, cfg: ModelConfig, i: int) -> dict:
+    if True:
         p = f"model.layers.{i}"
         blk = {
             "ln1": _norm(sd, f"{p}.input_layernorm"),
@@ -254,11 +265,10 @@ def convert_granite_moe(sd: dict, cfg: ModelConfig) -> dict:
                 ),
             },
         }
-        params["blocks"].append(blk)
-    return params
+        return blk
 
 
-def convert_granite_hybrid(sd: dict, cfg: ModelConfig) -> dict:
+def _granite_hybrid_prelude(sd: dict, cfg: ModelConfig) -> dict:
     """Granite 4.0 hybrid: Mamba2 mixer layers + (rope-less) attention layers,
     shared SwiGLU MLP on every layer (reference mamba2 keys :49-56,146-181)."""
     params = {
@@ -268,7 +278,11 @@ def convert_granite_hybrid(sd: dict, cfg: ModelConfig) -> dict:
     }
     if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
         params["lm_head"] = _lin_t(sd, "lm_head.weight")
-    for i in range(cfg.num_layers):
+    return params
+
+
+def _granite_hybrid_block(sd: dict, cfg: ModelConfig, i: int) -> dict:
+    if True:
         p = f"model.layers.{i}"
         blk: dict = {
             "ln1": _norm(sd, f"{p}.input_layernorm"),
@@ -315,19 +329,41 @@ def convert_granite_hybrid(sd: dict, cfg: ModelConfig) -> dict:
                 "up": _lin_t(sd, f"{p}.shared_mlp.input_linear.weight"),
                 "down": _lin_t(sd, f"{p}.shared_mlp.output_linear.weight"),
             }
-        params["blocks"].append(blk)
-    return params
+        return blk
+
+
+# (prelude, per-block) converter pairs: the split lets the sharded loader
+# stream one layer at a time (slice + quantize + free) so peak host memory
+# stays near the SHARD size, not the checkpoint size (SURVEY §7-M6 per-host
+# shard loading).
+CONVERTER_PARTS: dict[str, tuple[Callable, Callable]] = {
+    "gpt2": (_gpt2_prelude, _gpt2_block),
+    "llama": (_llama_prelude, _llama_block),
+    "mistral": (_llama_prelude, _llama_block),
+    "falcon": (_falcon_prelude, _falcon_block),
+    "granitemoe": (_granite_moe_prelude, _granite_moe_block),
+    "granitemoeshared": (_granite_moe_prelude, _granite_moe_block),
+    "granitemoehybrid": (_granite_hybrid_prelude, _granite_hybrid_block),
+}
+
+
+def _make_converter(prelude, block):
+    def convert(sd: dict, cfg: ModelConfig) -> dict:
+        params = prelude(sd, cfg)
+        params["blocks"] = [block(sd, cfg, i) for i in range(cfg.num_layers)]
+        return params
+
+    return convert
 
 
 CONVERTERS: dict[str, Callable[[dict, ModelConfig], dict]] = {
-    "gpt2": convert_gpt2,
-    "llama": convert_llama,
-    "mistral": convert_llama,
-    "falcon": convert_falcon,
-    "granitemoe": convert_granite_moe,
-    "granitemoeshared": convert_granite_moe,
-    "granitemoehybrid": convert_granite_hybrid,
+    name: _make_converter(*parts) for name, parts in CONVERTER_PARTS.items()
 }
+convert_gpt2 = CONVERTERS["gpt2"]
+convert_llama = CONVERTERS["llama"]
+convert_falcon = CONVERTERS["falcon"]
+convert_granite_moe = CONVERTERS["granitemoe"]
+convert_granite_hybrid = CONVERTERS["granitemoehybrid"]
 
 
 # ---------------------------------------------------------------------------
