@@ -77,8 +77,21 @@ class RequestLog:
 
     def sync(self) -> list[tuple[list[int], dict]]:
         """Broadcast unsynced entries; returns the new entries every host
-        must enqueue (in order)."""
+        must enqueue (in order). Fast path: a single scalar collective
+        ("n new requests") decides whether the pickle broadcast happens at
+        all — idle steps (the common case mid-generation) pay one scalar
+        op instead of a length negotiation + payload broadcast per step."""
         is_src = jax.process_index() == 0
+        if jax.process_count() == 1:
+            tail = self.entries[self._synced :]
+            self._synced = len(self.entries)
+            return tail
+        from jax.experimental import multihost_utils
+
+        n = np.int64(len(self.entries) - self._synced) if is_src else np.int64(0)
+        n = int(multihost_utils.broadcast_one_to_all(n))
+        if n == 0:
+            return []
         tail = self.entries[self._synced :] if is_src else None
         tail = broadcast_payload(tail, is_src)
         if not is_src:

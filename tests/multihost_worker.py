@@ -53,6 +53,18 @@ def main():
         prompts, SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
     )
     print(f"TOKENS[{pid}] {[o.token_ids for o in outs]}", flush=True)
+
+    # Idle-step sync overhead: with no new requests, log.sync() must cost one
+    # scalar collective (the fast path), not a payload broadcast.
+    import time
+
+    n_idle = 50
+    t0 = time.perf_counter()
+    for _ in range(n_idle):
+        tail = mh.log.sync()
+        assert tail == []
+    dt = (time.perf_counter() - t0) / n_idle
+    print(f"IDLESYNC[{pid}] {dt*1e6:.0f}us", flush=True)
     mh.close()
     jax.distributed.shutdown()
 

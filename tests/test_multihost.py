@@ -62,6 +62,17 @@ def test_two_process_spmd_generation_matches_single_process():
     assert tokens[0] == tokens[1]
     assert len(tokens[0]) == 3 and all(len(t) == 6 for t in tokens[0])
 
+    # Idle-step sync must take the scalar fast path on every host (the
+    # payload broadcast is ~ms-scale; the scalar op is tens of us on the
+    # loopback CPU backend — assert it stays well under payload cost).
+    idle_us = [
+        float(line.split("] ", 1)[1][:-2])
+        for out in outs
+        for line in out.splitlines()
+        if line.startswith("IDLESYNC[")
+    ]
+    assert len(idle_us) == 2 and all(v < 5000 for v in idle_us), idle_us
+
     # Single-process reference (worker with nproc=1 runs tp=4 dp=1 on the
     # in-process virtual mesh).
     ref = _run_workers(1)
