@@ -471,10 +471,10 @@ class TPUModelRunner:
             rep = self._rep
             lane, pool_sh = self._lane, self._pool_sh
 
-            def fn(params, tokens, positions, valid_lens, context_lens, block_tables, slot_mapping, pool):
-                logits, pool = M.prefill_batch(
+            def fn(params, tokens, positions, valid_lens, context_lens, block_tables, slot_mapping, pool, mamba_state, slot_idxs):
+                logits, pool, mamba_state = M.prefill_batch(
                     params, cfg, tokens, positions, valid_lens, context_lens,
-                    block_tables, slot_mapping, pool, bs,
+                    block_tables, slot_mapping, pool, bs, mamba_state, slot_idxs,
                 )
                 if rep is not None:
                     # Last-token logits are tiny: replicate them so host-side
@@ -487,9 +487,9 @@ class TPUModelRunner:
                             k: jax.lax.with_sharding_constraint(v, pool_sh[k])
                             for k, v in pool.items()
                         }
-                return logits, pool
+                return logits, pool, mamba_state
 
-            self._prefill_cache[key] = jax.jit(fn, donate_argnums=(7,))
+            self._prefill_cache[key] = jax.jit(fn, donate_argnums=(7, 8))
         return self._prefill_cache[key]
 
     def _prefill_group(self, seqs: list[Sequence], Tb: int, nb: int) -> list[jnp.ndarray]:
@@ -513,6 +513,10 @@ class TPUModelRunner:
             slot_mapping[i] = kvc.make_slot_mapping(
                 block_tables[i], start, len(chunk), self.block_size, Tb, self.num_slots_flat
             )
+        # Hybrid groups park their final mamba states by decode slot; padding
+        # rows pass an OOB slot so the scatter drops them.
+        slot_idxs = np.full((Nb,), self.S, np.int32)
+        slot_idxs[:n] = [seq.slot for seq in seqs]
         fn = self._get_prefill_batch(Nb, Tb, nb)
         # DP: shard the group's batch dim over 'data' when it divides evenly
         # (each replica prefills Nb/dp sequences); otherwise replicate.
@@ -520,13 +524,16 @@ class TPUModelRunner:
             row, row2 = self._lane, self._lane2
         else:
             row = row2 = self._rep
-        logits, self.pool = fn(
+        logits, self.pool, new_mamba = fn(
             self.params,
             self._dev(tokens, row2), self._dev(positions, row2),
             self._dev(valid_lens, row), self._dev(context_lens, row),
             self._dev(block_tables, row2),
             self._dev(slot_mapping.reshape(-1), row), self.pool,
+            self.mamba_state, self._dev(slot_idxs),
         )
+        if self.mamba_state is not None:
+            self.mamba_state = new_mamba
         return [logits[i] for i in range(n)]
 
     # ---- prefill ---------------------------------------------------------
@@ -609,7 +616,10 @@ class TPUModelRunner:
     def _run_prefill(self, seqs: list[Sequence]) -> list[list[int]]:
         self._setup_slots(seqs)
         logits_by_seq: dict[int, jnp.ndarray] = {}
-        if self.mcfg.is_hybrid:
+        if self.mcfg.is_hybrid and self.mesh is not None:
+            # Mesh-hybrid fallback: the mamba state is mesh-sharded and the
+            # batched scatter would need per-axis reconciliation — per-seq
+            # prefill keeps the sharded-state path simple.
             for seq in seqs:
                 logits_by_seq[seq.seq_id] = self._prefill_one(seq)
         else:

@@ -495,11 +495,14 @@ def prefill_batch(
     slot_mapping: jnp.ndarray,  # [N*T] int32 flat pool slots (OOB => pad)
     pool: dict,
     block_size: int = 16,
+    mamba_state: dict | None = None,
+    slot_idxs: jnp.ndarray | None = None,  # [N] int32 decode slots (hybrid)
 ):
-    """Prefill a group of (non-hybrid) sequences in ONE dispatch; returns
-    (last-token logits [N, V], pool). Requires layer-stacked params (the
-    scan path) — the per-sequence variant remains for hybrid models and
-    the eval harness."""
+    """Prefill a group of sequences in ONE dispatch; returns (last-token
+    logits [N, V], pool, mamba_state). Hybrid (Granite 4.0) groups ride the
+    same path: mamba layers run the vmapped SSD core and park all N final
+    states with one scatter (padding rows pass OOB slots). The per-sequence
+    variant remains for the eval harness and mesh-hybrid fallback."""
     from nanovllm_tpu.ops.attention import attention_chunk_batched
 
     N, T = tokens.shape
@@ -513,10 +516,10 @@ def prefill_batch(
     if cfg.position_type == PositionType.ROPE:
         cos_sin = rope_cos_sin(positions.reshape(-1), params["rope_inv_freq"])
 
-    def attn_layer(blk, x, pool, layer):
+    def attn_layer(blk, x, pool, layer, use_rope=True):
         h = apply_norm(blk["ln1"], x, cfg.norm_eps)
         q, k, v = _qkv(cfg, blk["attn"], h)
-        if cos_sin is not None and _use_rope(cfg, 0):
+        if cos_sin is not None and use_rope:
             q = apply_rope(q, *cos_sin)
             k = apply_rope(k, *cos_sin)
         pool = kvc.kv_write(pool, layer, nslots, k, v, slot_mapping)
@@ -553,7 +556,7 @@ def prefill_batch(
         def body(carry, inp):
             x, pool = carry
             blk, i = inp
-            x, pool = attn_layer(blk, x, pool, i)
+            x, pool = attn_layer(blk, x, pool, i, _use_rope(cfg, 0))
             return (x, pool), None
 
         (x, pool), _ = jax.lax.scan(
@@ -561,14 +564,24 @@ def prefill_batch(
         )
     else:
         for i, blk in enumerate(params["blocks"]):
-            x, pool = attn_layer(blk, x, pool, i)
+            if cfg.layer_kind(i) == LayerKind.MAMBA2:
+                h = apply_norm(blk["ln1"], x, cfg.norm_eps)
+                h, mamba_state = mamba_ops.mamba2_prefill_batch(
+                    cfg, blk["mamba"], h.reshape(N, T, -1), valid_lens,
+                    mamba_state, i, slot_idxs,
+                )
+                x = _residual_add(cfg, x, h.reshape(N * T, -1))
+                h = apply_norm(blk["ln2"], x, cfg.norm_eps)
+                x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h, vmask))
+                continue
+            x, pool = attn_layer(blk, x, pool, i, _use_rope(cfg, i))
 
     x = x.reshape(N, T, -1)
     last = jnp.take_along_axis(
         x, jnp.maximum(valid_lens - 1, 0)[:, None, None].astype(jnp.int32), axis=1
     )[:, 0]
     logits = _lm_logits(cfg, params, last)
-    return logits, pool
+    return logits, pool, mamba_state
 
 
 # ---------------------------------------------------------------------------

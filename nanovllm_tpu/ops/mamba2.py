@@ -13,9 +13,12 @@ pytree (`conv`: last d_conv-1 pre-conv inputs, `ssm`: [H, P, N] fp32 state)
 threaded through the jitted step functions, so many sequences decode
 concurrently — the same slot discipline as the paged KV pool.
 
-The prefill scan is a jax.lax.scan over time (exact). A chunked/associative
-(SSD-style) formulation is the planned TPU optimization; decode is a single
-O(1) state update and is already hardware-friendly.
+The prefill scan is chunked SSD-style (`_prefill_core`): sequential only
+across chunks, dense MXU einsums inside a chunk — exact, not an
+approximation. Decode is a single O(1) state update. Batched prefill
+(`mamba2_prefill_batch`) vmaps the same core over the group's sequences and
+parks every final state with one scatter, so hybrid models share batched
+prefill dispatches with the attention-only families.
 """
 
 from __future__ import annotations
@@ -96,21 +99,20 @@ def _gated_out(cfg: ModelConfig, p: dict, y: jnp.ndarray, gate: jnp.ndarray) -> 
     return linear(p["out_proj"], y.astype(gate.dtype))
 
 
-def mamba2_prefill(
+def _prefill_core(
     cfg: ModelConfig,
     p: dict,
-    x: jnp.ndarray,        # [T, E]
+    x: jnp.ndarray,          # [T, E]
     valid_len: jnp.ndarray,  # scalar int32
-    state: dict | None,
-    layer_idx: int,
-    slot_idx: jnp.ndarray | None,  # scalar int32: decode slot to park final state in
 ):
+    """One sequence's full mamba2 prefill. Returns (out [T, E],
+    final_ssm_state [H, P, S], conv_rows [K-1, conv_dim]) — pure in the
+    sequence, so the batched variant is a straight vmap."""
     from nanovllm_tpu.ops.linear import linear
 
     T = x.shape[0]
     H, P, S, G = cfg.mamba_n_heads, cfg.mamba_head_dim, cfg.mamba_d_state, cfg.mamba_n_groups
     d_inner, conv_dim = _dims(cfg)
-    li = mamba_layer_index(cfg, layer_idx)
 
     proj = linear(p["in_proj"], x)
     gate, xbc, dt_raw = _split_proj(cfg, proj)
@@ -177,17 +179,56 @@ def mamba2_prefill(
     y = ys + xs * p["D"].astype(jnp.float32)[None, :, None]
     out = _gated_out(cfg, p, y.reshape(T, d_inner), gate)
 
+    # Last K-1 valid pre-conv rows: the decode conv window seed.
+    idx = jnp.arange(K - 1) + valid_len - (K - 1)
+    conv_rows = jnp.where(
+        (idx >= 0)[:, None],
+        jnp.take(xbc_f, jnp.clip(idx, 0, T - 1), axis=0),
+        0.0,
+    )
+    return out, final_state, conv_rows
+
+
+def mamba2_prefill(
+    cfg: ModelConfig,
+    p: dict,
+    x: jnp.ndarray,        # [T, E]
+    valid_len: jnp.ndarray,  # scalar int32
+    state: dict | None,
+    layer_idx: int,
+    slot_idx: jnp.ndarray | None,  # scalar int32: decode slot to park final state in
+):
+    li = mamba_layer_index(cfg, layer_idx)
+    out, final_state, conv_rows = _prefill_core(cfg, p, x, valid_len)
     if state is not None and slot_idx is not None:
         # Park final conv + ssm state in this sequence's decode slot.
-        idx = jnp.arange(K - 1) + valid_len - (K - 1)  # last K-1 valid rows
-        rows = jnp.where(
-            (idx >= 0)[:, None],
-            jnp.take(xbc_f, jnp.clip(idx, 0, T - 1), axis=0),
-            0.0,
-        )
         state = {
-            "conv": state["conv"].at[li, slot_idx].set(rows),
+            "conv": state["conv"].at[li, slot_idx].set(conv_rows),
             "ssm": state["ssm"].at[li, slot_idx].set(final_state),
+        }
+    return out, state
+
+
+def mamba2_prefill_batch(
+    cfg: ModelConfig,
+    p: dict,
+    x: jnp.ndarray,           # [N, T, E]
+    valid_lens: jnp.ndarray,  # [N] int32
+    state: dict | None,
+    layer_idx: int,
+    slot_idxs: jnp.ndarray | None,  # [N] int32 decode slots (OOB row => dropped)
+):
+    """Batched mamba2 prefill: vmap of `_prefill_core` over the group's
+    sequences plus ONE scatter parking all final states. Padding rows in the
+    group pass an out-of-range slot (mode='drop')."""
+    li = mamba_layer_index(cfg, layer_idx)
+    out, final_states, conv_rows = jax.vmap(
+        lambda xi, vi: _prefill_core(cfg, p, xi, vi)
+    )(x, valid_lens)
+    if state is not None and slot_idxs is not None:
+        state = {
+            "conv": state["conv"].at[li, slot_idxs].set(conv_rows, mode="drop"),
+            "ssm": state["ssm"].at[li, slot_idxs].set(final_states, mode="drop"),
         }
     return out, state
 

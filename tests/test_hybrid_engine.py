@@ -88,3 +88,101 @@ def test_hybrid_llm_end_to_end():
     outs2 = llm.generate([[3, 4, 5, 6], [7, 8, 9]], SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True))
     for a, b in zip(outs, outs2):
         assert a.token_ids == b.token_ids and len(a.token_ids) == 6
+
+
+def test_hybrid_prefill_batch_matches_per_seq():
+    """The batched (group) hybrid prefill — vmapped SSD core + one state
+    scatter — must reproduce the per-sequence path exactly: logits AND the
+    parked per-slot conv/ssm states (VERDICT r2 next-round #9)."""
+    cfg = hybrid_cfg()
+    params = M.init_params(cfg, seed=3)
+    rng = np.random.default_rng(11)
+    T = 16
+    lens = [16, 11, 7]
+    N = len(lens)
+    seq_tokens = [rng.integers(1, cfg.vocab_size, size=l).tolist() for l in lens]
+    nb = 2
+
+    def mk_pool():
+        return kvc.create_kv_pool(cfg.num_layers, 4 * nb, BS, cfg.num_kv_heads, cfg.head_dim, dtype=jnp.float32)
+
+    # Per-sequence reference.
+    pool_r = mk_pool()
+    state_r = mo.create_mamba_state(cfg, N)
+    ref_logits = []
+    for i, toks in enumerate(seq_tokens):
+        bt = np.array([2 * i, 2 * i + 1], np.int32)
+        sm = kvc.make_slot_mapping(bt, 0, len(toks), BS, T, 4 * nb * BS)
+        padded = np.zeros((T,), np.int32)
+        padded[: len(toks)] = toks
+        lg, pool_r, state_r = M.prefill_chunk(
+            params, cfg, jnp.asarray(padded), jnp.arange(T, dtype=jnp.int32),
+            jnp.int32(len(toks)), jnp.int32(len(toks)),
+            jnp.asarray(bt), jnp.asarray(sm), pool_r, state_r, jnp.int32(i), BS,
+        )
+        ref_logits.append(np.asarray(lg))
+
+    # Batched group (with one padding row exercising the OOB-slot drop).
+    Nb = 4
+    pool_b = mk_pool()
+    state_b = mo.create_mamba_state(cfg, N)
+    tokens = np.zeros((Nb, T), np.int32)
+    positions = np.tile(np.arange(T, dtype=np.int32), (Nb, 1))
+    valid_lens = np.ones((Nb,), np.int32)
+    context_lens = np.ones((Nb,), np.int32)
+    block_tables = np.zeros((Nb, nb), np.int32)
+    slot_mapping = np.full((Nb, T), 4 * nb * BS, np.int32)
+    slot_idxs = np.full((Nb,), N, np.int32)  # OOB for the pad row
+    for i, toks in enumerate(seq_tokens):
+        tokens[i, : len(toks)] = toks
+        valid_lens[i] = context_lens[i] = len(toks)
+        block_tables[i] = [2 * i, 2 * i + 1]
+        slot_mapping[i] = kvc.make_slot_mapping(block_tables[i], 0, len(toks), BS, T, 4 * nb * BS)
+        slot_idxs[i] = i
+    logits_b, pool_b, state_b = M.prefill_batch(
+        params, cfg, jnp.asarray(tokens), jnp.asarray(positions),
+        jnp.asarray(valid_lens), jnp.asarray(context_lens),
+        jnp.asarray(block_tables), jnp.asarray(slot_mapping.reshape(-1)),
+        pool_b, BS, state_b, jnp.asarray(slot_idxs),
+    )
+    for i in range(N):
+        np.testing.assert_allclose(np.asarray(logits_b[i]), ref_logits[i], rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(state_b["ssm"]), np.asarray(state_r["ssm"]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(state_b["conv"]), np.asarray(state_r["conv"]), rtol=2e-4, atol=2e-4)
+    # KV pools must match too (attention layers of the hybrid stack).
+    np.testing.assert_allclose(np.asarray(pool_b["k"]), np.asarray(pool_r["k"]), rtol=2e-4, atol=2e-4)
+
+
+def test_hybrid_engine_concurrent_arrivals_share_dispatches():
+    """Eight same-bucket hybrid admissions must share batched prefill
+    dispatches instead of eight per-sequence ones (linear-TTFT fix)."""
+    cfg = hybrid_cfg()
+    ecfg = EngineConfig(
+        max_num_batched_tokens=4096, max_num_seqs=8, max_model_len=128,
+        kv_block_size=BS, max_decode_slots=8, min_prefill_bucket=16,
+        num_kv_blocks=64, eos_token_id=0, decode_burst=4,
+    )
+    llm = LLM(model_config=cfg, engine_config=ecfg)
+    runner = llm.engine.runner
+    calls = {"group": 0, "one": 0}
+    orig_group, orig_one = runner._prefill_group, runner._prefill_one
+
+    def spy_group(seqs, Tb, nb):
+        calls["group"] += 1
+        return orig_group(seqs, Tb, nb)
+
+    def spy_one(seq):
+        calls["one"] += 1
+        return orig_one(seq)
+
+    runner._prefill_group, runner._prefill_one = spy_group, spy_one
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, cfg.vocab_size, size=12).tolist() for _ in range(8)]
+    outs = llm.generate(prompts, SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True))
+    assert calls["one"] == 0 and 1 <= calls["group"] <= 2
+    assert all(len(o.token_ids) == 4 for o in outs)
+    # Determinism across a second identical run (fresh engine).
+    llm2 = LLM(model_config=cfg, engine_config=ecfg)
+    outs2 = llm2.generate(prompts, SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True))
+    for a, b in zip(outs, outs2):
+        assert a.token_ids == b.token_ids
