@@ -267,6 +267,15 @@ class EngineConfig:
     # Parallelism
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
+    # Context parallelism (sequence-parallel prefill): long fresh prompts are
+    # prefilled with the token dim sharded over the mesh 'data' axis and ring
+    # attention (ops/ring_attention.py) rotating KV shards over ICI — peak
+    # per-device score memory drops from O(T*S) to O((T/P)^2), so one prompt
+    # can exceed a single chip's attention budget. Applies when a mesh with
+    # data_parallel_size > 1 exists, the prompt has no cached prefix, the
+    # model is not hybrid, and the padded chunk is >= cp_min_tokens.
+    context_parallel: bool = False
+    cp_min_tokens: int = 1024
 
     def __post_init__(self):
         if self.kv_block_size % 16 != 0:

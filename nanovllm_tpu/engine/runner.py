@@ -266,6 +266,34 @@ class TPUModelRunner:
             self._prefill_cache[key] = jax.jit(fn, donate_argnums=(7, 8))
         return self._prefill_cache[key]
 
+    def _get_prefill_cp(self, T: int, nb: int):
+        """Context-parallel prefill program: token dim sharded over the mesh
+        'data' axis, ring attention over the in-flight chunk (see
+        M.prefill_chunk cp=). One compiled program per (T, nb) bucket."""
+        key = ("cp", T, nb)
+        if key not in self._prefill_cache:
+            cfg = self.mcfg
+            bs = self.ecfg.kv_block_size
+            mesh = self.mesh
+            rep, pool_sh = self._rep, self._pool_sh
+            from nanovllm_tpu.parallel.mesh import DATA_AXIS
+
+            def fn(params, tokens, positions, valid_len, context_len, block_table, slot_mapping, pool, mamba_state, slot_idx):
+                logits, pool, ms = M.prefill_chunk(
+                    params, cfg, tokens, positions, valid_len, context_len,
+                    block_table, slot_mapping, pool, mamba_state, slot_idx, bs,
+                    cp=(mesh, DATA_AXIS),
+                )
+                logits = jax.lax.with_sharding_constraint(logits, rep)
+                pool = {
+                    k: jax.lax.with_sharding_constraint(v, pool_sh[k])
+                    for k, v in pool.items()
+                }
+                return logits, pool, ms
+
+            self._prefill_cache[key] = jax.jit(fn, donate_argnums=(7, 8))
+        return self._prefill_cache[key]
+
     def _get_decode(self, nb: int, n_steps: int):
         """Fused multi-step decode: `n_steps` iterations of (model forward +
         batched sampling + history append + on-device state advance) under one
@@ -538,6 +566,48 @@ class TPUModelRunner:
 
     # ---- prefill ---------------------------------------------------------
 
+    def _cp_applies(self, seq: Sequence) -> bool:
+        """Context-parallel prefill gate: a fresh long prompt on a dp>1 mesh
+        (no cached prefix — the in-flight chunk must BE the whole context —
+        and no Mamba layers, whose prefill is a sequential state scan)."""
+        if not (self.ecfg.context_parallel and self._lane is not None and self._lane is not self._rep):
+            return False
+        if self.mcfg.is_hybrid or seq.num_cached_tokens != 0:
+            return False
+        Tb = bucket_length(len(seq), self.ecfg.min_prefill_bucket, self.ecfg.max_model_len)
+        return Tb >= self.ecfg.cp_min_tokens and Tb % self._dp == 0
+
+    def _prefill_one_cp(self, seq: Sequence) -> jnp.ndarray:
+        """One sequence's fresh prompt, token dim sharded over 'data'."""
+        chunk = seq.token_ids
+        T_real = len(chunk)
+        Tb = bucket_length(T_real, self.ecfg.min_prefill_bucket, self.ecfg.max_model_len)
+        ctx_blocks = len(seq.block_table)
+        nb = bucket_length(ctx_blocks, 1, self.max_blocks_per_seq)
+
+        tokens = np.zeros((Tb,), np.int32)
+        tokens[:T_real] = chunk
+        positions = np.arange(Tb, dtype=np.int32)
+        block_table = np.zeros((nb,), np.int32)
+        block_table[:ctx_blocks] = seq.block_table
+        slot_mapping = kvc.make_slot_mapping(
+            block_table, 0, T_real, self.block_size, Tb, self.num_slots_flat
+        )
+        fn = self._get_prefill_cp(Tb, nb)
+        logits, self.pool, _ = fn(
+            self.params,
+            self._dev(tokens, self._lane),
+            self._dev(positions, self._lane),
+            self._dev(np.int32(T_real)),
+            self._dev(np.int32(len(seq))),
+            self._dev(block_table),
+            self._dev(slot_mapping, self._lane),
+            self.pool,
+            None,
+            self._dev(np.int32(seq.slot if seq.slot is not None else 0)),
+        )
+        return logits
+
     def _prefill_one(self, seq: Sequence) -> jnp.ndarray:
         start = seq.num_cached_tokens
         chunk = seq.token_ids[start:]
@@ -616,16 +686,25 @@ class TPUModelRunner:
     def _run_prefill(self, seqs: list[Sequence]) -> list[list[int]]:
         self._setup_slots(seqs)
         logits_by_seq: dict[int, jnp.ndarray] = {}
+        cp_ids = set()
+        for seq in seqs:
+            if self._cp_applies(seq):
+                logits_by_seq[seq.seq_id] = self._prefill_one_cp(seq)
+                cp_ids.add(seq.seq_id)
+        if cp_ids:
+            seqs_rest = [s for s in seqs if s.seq_id not in cp_ids]
+        else:
+            seqs_rest = seqs
         if self.mcfg.is_hybrid and self.mesh is not None:
             # Mesh-hybrid fallback: the mamba state is mesh-sharded and the
             # batched scatter would need per-axis reconciliation — per-seq
             # prefill keeps the sharded-state path simple.
-            for seq in seqs:
+            for seq in seqs_rest:
                 logits_by_seq[seq.seq_id] = self._prefill_one(seq)
         else:
             # Group same-bucket sequences into batched dispatches.
             groups: dict[tuple[int, int], list[Sequence]] = {}
-            for seq in seqs:
+            for seq in seqs_rest:
                 T_real = len(seq) - seq.num_cached_tokens
                 Tb = bucket_length(T_real, self.ecfg.min_prefill_bucket, self.ecfg.max_model_len)
                 nb = bucket_length(len(seq.block_table), 1, self.max_blocks_per_seq + 1)

@@ -391,6 +391,7 @@ def prefill_chunk(
     slot_idx: jnp.ndarray | None = None,  # scalar int32 decode-slot for mamba state
     block_size: int = 16,
     all_logits: bool = False,  # True => return [T, V] (PPL eval harness)
+    cp: tuple | None = None,   # (mesh, axis): context-parallel ring attention
 ):
     """Runs one prefill chunk; returns (last_token_logits [V], pool, mamba_state).
 
@@ -398,8 +399,25 @@ def prefill_chunk(
     gather the whole context window [nb*block_size] back and attend — prefix
     tokens (from prefix-cache hits or earlier chunks) and fresh tokens are
     handled uniformly, and the pool is the single source of truth.
+
+    cp=(mesh, axis): context-parallel prefill (SURVEY §5 long-context stretch
+    goal, serving-side). The token dim is sharded over `axis`; attention runs
+    as ring attention over the in-flight q/k/v (ops/ring_attention.py) so no
+    device ever materializes the full [T, S] score matrix or the full chunk
+    KV. Only valid for a FRESH prompt (no cached prefix: the in-flight k/v IS
+    the whole context) — the runner gates on num_cached_tokens == 0. KV still
+    lands in the paged pool via the same slot-mapping scatter (GSPMD
+    reconciles the token-sharded updates), so decode proceeds normally.
     """
     x = _embed(cfg, params, tokens, positions)
+    if cp is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from nanovllm_tpu.ops.ring_attention import ring_attention
+
+        cp_mesh, cp_axis = cp
+        x = jax.lax.with_sharding_constraint(
+            x, NamedSharding(cp_mesh, PartitionSpec(cp_axis, None))
+        )
     # Real (non-padding) rows — excludes them from MoE capacity dispatch.
     vmask = jnp.arange(tokens.shape[0], dtype=jnp.int32) < valid_len
     S = block_table.shape[0] * block_size
@@ -416,7 +434,15 @@ def prefill_chunk(
             q = apply_rope(q, *cos_sin)
             k = apply_rope(k, *cos_sin)
         pool = kvc.kv_write(pool, layer, nslots, k, v, slot_mapping)
-        if _flash_prefill_ok(S, tokens.shape[0]):
+        if cp is not None:
+            # Ring attention over the in-flight chunk q/k/v (fresh prompt: the
+            # chunk is the whole context). Padded rows are monotonic-position
+            # tail keys: causally visible only to other padded rows.
+            attn = ring_attention(
+                q, k, v, positions, positions, cp_mesh, cp_axis,
+                cfg.attn_scale, cfg.sliding_window,
+            )
+        elif _flash_prefill_ok(S, tokens.shape[0]):
             from nanovllm_tpu.ops.pallas.flash_prefill import flash_prefill_paged
 
             bt_l = block_table[None, :] + layer * (nslots // block_size)

