@@ -65,7 +65,7 @@ def main():
 
     t0 = time.time()
     rng = np.random.default_rng(0)
-    cache = "/tmp/nanovllm_bench_llama1b_int8_v2.pkl"
+    cache = "/tmp/nanovllm_bench_llama1b_int8_v3.pkl"
     import pickle
 
     if os.path.exists(cache):

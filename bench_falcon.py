@@ -51,12 +51,17 @@ def main():
         model_type="falcon",
         eos_token_id=11,
     )
-    B, PROMPT, DECODE = 32, 128, 32
-
-    t0 = time.time()
     import os, pickle
 
-    cache = "/tmp/nanovllm_bench_falcon7b_int4_v2.pkl"
+    B = int(os.environ.get("FALCON_LANES", "32"))
+    PROMPT = int(os.environ.get("FALCON_PROMPT", "128"))
+    DECODE = int(os.environ.get("FALCON_DECODE", "32"))
+    BURST = int(os.environ.get("FALCON_BURST", "8"))
+
+    t0 = time.time()
+
+    # v3: mixed nibble encoding (ops/quant.py quantize_int4)
+    cache = "/tmp/nanovllm_bench_falcon7b_int4_v3.pkl"
     if os.path.exists(cache):
         log("loading cached INT4 weights...")
         with open(cache, "rb") as f:
@@ -85,7 +90,7 @@ def main():
         eos_token_id=cfg.eos_token_ids[0],
         quantization="int4",
         enable_prefix_caching=False,
-        decode_burst=8,
+        decode_burst=BURST,
     )
     llm = LLM(model_config=cfg, engine_config=ecfg, params=params)
     eng = llm.engine

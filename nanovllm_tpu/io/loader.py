@@ -448,7 +448,9 @@ def load_model_dir(
         return cfg, to_device_params(params, cfg, device=device)
 
     suffix = "_fqkv" if fuse_qkv else ""
-    cache_path = os.path.join(model_dir, f".nv_quant_{quantization}{suffix}.pkl")
+    # p2: mixed int4 nibble encoding (ops/quant.py) — stale caches from the
+    # signed-nibble packing would silently dequantize wrong.
+    cache_path = os.path.join(model_dir, f".nv_quant_{quantization}{suffix}_p2.pkl")
     if quantization != "none" and use_quant_cache and os.path.exists(cache_path):
         with open(cache_path, "rb") as f:
             return finish(pickle.load(f))

@@ -253,13 +253,15 @@ def _qkv(cfg: ModelConfig, ap: dict, x: jnp.ndarray):
     T = x.shape[0]
     if "qkv" in ap:
         # Fused projection (fuse_qkv_params): one matmul / one quant-kernel
-        # dispatch for all three. Segments sit at 128-aligned offsets (the
-        # quantized layout pads each part's columns to 128-multiples; the
-        # dense fusion zero-pads to match).
+        # dispatch for all three. Segments sit at padded_out_dim-aligned
+        # offsets (the quantized layout pads each part's columns per that
+        # rule; the dense fusion zero-pads to match).
+        from nanovllm_tpu.ops.quant import padded_out_dim
+
         nq = cfg.num_heads * cfg.head_dim
         nkv = cfg.num_kv_heads * cfg.head_dim
-        nq_p = -(-nq // 128) * 128
-        nkv_p = -(-nkv // 128) * 128
+        nq_p = padded_out_dim(nq)
+        nkv_p = padded_out_dim(nkv)
         z = linear(ap["qkv"], x)
         q = z[:, :nq].reshape(T, cfg.num_heads, cfg.head_dim)
         k = z[:, nq_p:nq_p + nkv].reshape(T, cfg.num_kv_heads, cfg.head_dim)
@@ -289,11 +291,13 @@ def fuse_qkv_params(params: dict) -> dict:
         return np.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, width - a.shape[-1])])
 
     def cat_dense(qp, kp, vp):
-        # Zero-pad each part's columns to the 128-aligned segment widths the
-        # quantized layout uses, so _qkv's offsets are layout-independent.
+        # Zero-pad each part's columns to the padded_out_dim segment widths
+        # the quantized layout uses, so _qkv's offsets are layout-independent.
+        from nanovllm_tpu.ops.quant import padded_out_dim
+
         qw, kw, vw = (np.asarray(p["w"]) for p in (qp, kp, vp))
-        nq_p = -(-qw.shape[1] // 128) * 128
-        nkv_p = -(-kw.shape[1] // 128) * 128
+        nq_p = padded_out_dim(qw.shape[1])
+        nkv_p = padded_out_dim(kw.shape[1])
         fused = {"w": np.concatenate(
             [pad_cols(qw, nq_p), pad_cols(kw, nkv_p), np.asarray(vw)], axis=1
         )}

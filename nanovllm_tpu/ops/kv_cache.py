@@ -42,40 +42,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Tri-state: None = auto (TPU backend, decode writes); True/False force. The
-# Pallas grouped-RMW writer replaces XLA's row-serialized scatter (~91us per
-# layer-side on v5e, 56% of decode device time) with B overlapped 8-row-group
-# DMAs. DECODE ONLY: the kernel requires distinct rows in distinct 8-row
-# groups, which decode guarantees (one token per sequence per step +
-# block-exclusive ownership with block_size % 8 == 0) and prefill violates
-# (consecutive slots share a group). See ops/pallas/kv_write.py.
-_USE_WRITE_KERNEL: bool | None = None
-
-import os as _os
-
-if _os.environ.get("NANOVLLM_WRITE_KERNEL") in ("0", "1"):
-    _USE_WRITE_KERNEL = _os.environ["NANOVLLM_WRITE_KERNEL"] == "1"
-
-
-def set_use_write_kernel(flag: bool | None) -> None:
-    global _USE_WRITE_KERNEL
-    _USE_WRITE_KERNEL = flag
-
-
-def _write_kernel_ok(decode: bool, R: int) -> bool:
-    if not decode:
-        # Hard precondition, never overridable: prefill writes consecutive
-        # slots into shared 8-row groups (RMW collision) and its row count
-        # would exhaust the DMA-semaphore budget.
-        return False
-    if _USE_WRITE_KERNEL is not None:
-        return _USE_WRITE_KERNEL
-    # Default OFF pending profiling: in isolation the kernel beats the XLA
-    # scatter 24x (60us vs 1443us per layer at B=32, 1GB pool), but in the
-    # full decode step it benches ~3% slower — XLA appears to overlap the
-    # scatter with surrounding compute while the aliased pallas_call
-    # serializes. NANOVLLM_WRITE_KERNEL=1 enables.
-    return False
+# Historical note: a Pallas grouped-RMW row writer (8-row-group DMAs) once
+# lived at ops/pallas/kv_write.py for the per-step decode scatter. In
+# isolation it beat XLA's row-serialized scatter 24x, but in the full decode
+# step it benched ~3% SLOWER (XLA overlaps the scatter with surrounding
+# compute; the aliased pallas_call serializes), and burst-deferred writes
+# (models/model.py decode_step_burst) then removed the per-step scatter from
+# the default path entirely — one scatter per burst instead of layers*burst.
+# The kernel was retired in r3 (git history has it).
 
 
 def create_kv_pool(
@@ -136,7 +110,7 @@ def kv_write(
     k: jnp.ndarray,             # [T, Hkv, D]
     v: jnp.ndarray,
     slot_mapping: jnp.ndarray,  # [T] per-layer slot ids (OOB => padding)
-    decode: bool = False,       # True iff one row per distinct sequence
+    decode: bool = False,       # kept for call-site symmetry (burst path defers)
 ) -> dict:
     """Scatter one layer's K/V rows into the flat pool (in place on carried
     buffers — no layer slice ever materializes)."""
@@ -144,22 +118,6 @@ def kv_write(
     total = pool["k"].shape[0]
     rows = _rebase(slot_mapping, layer, nslots, total)
     out = dict(pool)
-    if _write_kernel_ok(decode, k.shape[1] * k.shape[2]):
-        from nanovllm_tpu.ops.pallas.kv_write import kv_write_rows
-
-        if pool["k"].dtype == jnp.int8:
-            qk, sk = _quantize_kv(k)
-            qv, sv = _quantize_kv(v)
-            out["k"], out["v"] = kv_write_rows(
-                pool["k"], pool["v"], qk.reshape(T, -1), qv.reshape(T, -1), rows
-            )
-            out["k_scale"] = pool["k_scale"].at[:, rows].set(sk.T, mode="drop")
-            out["v_scale"] = pool["v_scale"].at[:, rows].set(sv.T, mode="drop")
-        else:
-            out["k"], out["v"] = kv_write_rows(
-                pool["k"], pool["v"], k.reshape(T, -1), v.reshape(T, -1), rows
-            )
-        return out
     if pool["k"].dtype == jnp.int8:
         qk, sk = _quantize_kv(k)
         qv, sv = _quantize_kv(v)

@@ -10,17 +10,23 @@ afford.
 
 Layouts (see ops/quant.py):
   INT8: qw [K, N] int8, scale [N] f32 per out-channel.
-  INT4: qw [K/2, N] int8 — within each 128-row group, row r (low nibble)
-        pairs with row r+64 (high nibble) so in-kernel unpack is a contiguous
-        concat along sublanes; scale [K/128, N] f32 per (group, channel).
-K and N are pre-padded to multiples of 128 at load time (QuantLinear).
+  INT4: qw [K/2, N] int8, HALVES packing — byte row r holds W[r] (low
+        nibble, offset-binary) and W[K/2 + r] (high nibble, two's
+        complement), so each nibble plane is a contiguous block of weight
+        rows; scale [K/128, N] f32 per (128-row group, channel).
+K and N are pre-padded at load time (QuantLinear; K to 256-multiples for
+int4 so each half is whole groups, N per padded_out_dim).
 
 Scheduling: decode matmuls are skinny (M = batch lanes ≤ 256) and
 memory-bound, so per-grid-step work must be large enough to hide DMA latency.
 When the whole contraction dim fits in VMEM (K ≤ K_RESIDENT) the grid is just
 (M/bm, N/bn) with one big dot per step and no accumulator carry; for larger K
-we split with a coarse BK and accumulate in VMEM scratch. Mosaic note: int8
-vector shifts don't legalize — INT4 unpacking runs in int32.
+we split with a coarse BK and accumulate in VMEM scratch. Mosaic note:
+sub-int32 vector SHIFTS don't legalize, but int8 AND and int8->bf16 converts
+do — INT4 unpacking is therefore pure int8 mask+convert against the mixed
+nibble encoding from ops/quant.py, and the halves layout makes every scale
+group one depth-128 MXU dot with the scale applied on the f32 accumulator
+(_halves_group_dot).
 """
 
 from __future__ import annotations
@@ -35,7 +41,6 @@ from jax.experimental.pallas import tpu as pltpu
 from nanovllm_tpu.ops.quant import INT4_GROUP_SIZE, QuantLinear
 
 K_RESIDENT = 8192  # max contraction dim kept fully in VMEM per grid step
-BK_SPLIT = 2048    # k-split chunk for very large K
 _INTERPRET = False  # flipped by tests on CPU
 
 
@@ -50,35 +55,52 @@ VMEM_BUDGET = 11 << 20  # leave headroom under the 16MB scoped-vmem limit
 def _vmem_cost(bm: int, bn: int, keff: int, is4: bool, split: bool) -> int:
     """Rough scoped-VMEM bytes for one grid step: double-buffered x and
     weight blocks, the in-kernel dequant intermediates (bf16 cast for INT8;
-    int32 nibble temps + one bf16 copy + f32 per-group accumulator for
-    INT4), the output block and the k-split accumulator."""
+    two bf16 nibble planes + f32 per-group partials for INT4), the output
+    block and the k-split accumulator."""
     x = 2 * bm * keff * 2
     wq = 2 * (keff // 2 if is4 else keff) * bn
     if is4:
-        dq = (4 + 2) * keff * bn + 4 * bm * bn * (keff // INT4_GROUP_SIZE)
+        # raw + scaled bf16 nibble planes (keff/2 rows each; Mosaic may fuse
+        # the intermediate, budget 3x keff lane-bytes to be safe).
+        dq = 3 * keff * bn
     else:
         dq = 2 * keff * bn
     out = 2 * bm * bn * 4 + (bm * bn * 4 if split else 0)
     return x + wq + dq + out
 
 
-def _plan(m: int, K: int, N: int, is4: bool) -> tuple[bool, int, int]:
-    """Choose (resident, bm, bn) maximizing tile sizes within VMEM_BUDGET."""
+def _plan(m: int, K: int, N: int, is4: bool) -> tuple[bool, int, int, int]:
+    """Choose (resident, bm, bn, bk) minimizing grid steps within VMEM_BUDGET.
+
+    Grid-step count is what the fixed per-step overhead (~0.5us: semaphore
+    waits + revolving-buffer bookkeeping) multiplies — at decode shapes the
+    kernels are DMA-bound, so fewer/bigger blocks beat any in-kernel
+    cleverness. Candidates are ordered by descending bytes per step."""
     bm_cap = 16
     while bm_cap < m and bm_cap < 256:
         bm_cap *= 2
-    options = ([True] if K <= K_RESIDENT else []) + [False]
-    for resident in options:
-        keff = K if resident else min(BK_SPLIT, K)
-        for bn in (512, 256, 128):
-            if N % bn:
+    cands: list[tuple[bool, int, int]] = []  # (resident, bk, bn)
+    for bn in (1024, 512, 256, 128):
+        if N % bn:
+            continue
+        if K <= K_RESIDENT:
+            cands.append((True, K, bn))
+        for bk in (8192, 6144, 4608, 4096, 3072, 2048, 1024, 512, 256, 128):
+            # int4 k-split chunks must hold whole groups from BOTH planes
+            # AND slice the scale array at 8-row sublane multiples
+            # ((bk/256) % 8 == 0 -> bk % 2048 == 0).
+            if is4 and bk % 2048:
                 continue
-            bm = bm_cap
-            while bm >= 16:
-                if _vmem_cost(bm, bn, keff, is4, not resident) <= VMEM_BUDGET:
-                    return resident, bm, bn
-                bm //= 2
-    return False, 16, 128
+            if bk < K and K % bk == 0:
+                cands.append((False, bk, bn))
+    cands.sort(key=lambda c: c[1] * c[2], reverse=True)
+    for resident, bk, bn in cands:
+        bm = bm_cap
+        while bm >= 16:
+            if _vmem_cost(bm, bn, bk, is4, not resident) <= VMEM_BUDGET:
+                return resident, bm, bn, bk
+            bm //= 2
+    return False, 16, 128, min(K, 256 if is4 else 128)
 
 
 def _pad_rows(x: jnp.ndarray, bm: int) -> jnp.ndarray:
@@ -86,21 +108,6 @@ def _pad_rows(x: jnp.ndarray, bm: int) -> jnp.ndarray:
     if pad:
         x = jnp.pad(x, ((0, pad), (0, 0)))
     return x
-
-
-def _unpack_int4(p: jnp.ndarray, dtype) -> jnp.ndarray:
-    """[rows, bn] packed int8 -> [2*rows, bn] dtype, group-paired layout.
-    rows must be a multiple of half-group (64)."""
-    half = INT4_GROUP_SIZE // 2
-    rows, bn = p.shape
-    g = rows // half
-    p32 = p.astype(jnp.int32)
-    low = jnp.right_shift(jnp.left_shift(p32, 28), 28)
-    high = jnp.right_shift(jnp.left_shift(p32, 24), 28)
-    w = jnp.concatenate(
-        [low.reshape(g, half, bn), high.reshape(g, half, bn)], axis=1
-    )
-    return w.reshape(2 * rows, bn).astype(dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -114,42 +121,49 @@ def _int8_kernel_kres(x_ref, qw_ref, scale_ref, o_ref):
     o_ref[:] = acc * scale_ref[:].astype(jnp.float32)
 
 
-def _group_dot(x, packed, scale, dtype):
-    """Fused int4 unpack + per-group matmul, scale applied to the
-    ACCUMULATOR: out = sum_g (xl_g @ L_g + xh_g @ H_g) * s_g.
+def _halves_group_dot(xl, xh, packed, sc_lo, sc_hi, dtype):
+    """Fused int4 unpack + per-group depth-128 dots, scales applied to the
+    [bm, bn] ACCUMULATOR (f32-exact — no per-weight multiply).
 
-    The group-paired packing (row r low nibble / row r+64 high nibble of the
-    same byte row) means each packed row block [g*64, (g+1)*64) IS the low-
-    and high-half weight rows of group g — so instead of unpacking into a
-    contiguous [K, bn] copy (a sublane-concat relayout per tile), the dot is
-    split into two 64-deep halves against the nibble planes directly. VPU
-    work per packed byte: 1 widening cast + 4 shifts + 2 bf16 casts — no
-    concat, no f32 weight copy, no [K, bn] scale multiply (the per-group
-    scale hits the [bm, bn] accumulator)."""
-    bm, K = x.shape
+    The HALVES packing (byte row r: low nibble = W[r], high = W[K/2 + r])
+    makes each nibble plane a contiguous block of weight rows, so every
+    scale group is one [bm, 128] @ [128, bn] dot against one plane — half
+    the dot count of the old 64-deep group-paired pairing (skinny-dot MXU
+    issue overhead was the kernel's real cost; at decode widths it measured
+    no faster than INT8 at half the bytes). xl/xh are the plain column
+    halves of x, sliced upstream by BlockSpec index maps at zero cost.
+
+    Unpack is pure int8 AND + int8->bf16 convert (Mosaic legalizes no
+    sub-int32 shifts): low nibble offset-binary, high nibble two's
+    complement with the /16 folded into its accumulator scale row."""
+    bm, Kh = xl.shape
     bn = packed.shape[1]
-    g = K // INT4_GROUP_SIZE
-    half = INT4_GROUP_SIZE // 2
-    p32 = packed.astype(jnp.int32)
-    low = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(dtype)   # [K/2, bn]
-    high = jnp.right_shift(jnp.left_shift(p32, 24), 28).astype(dtype)
-    sc = scale.astype(jnp.float32)
+    gh = Kh // INT4_GROUP_SIZE  # groups per half
+    G = INT4_GROUP_SIZE
+    lo = jnp.bitwise_and(packed, jnp.int8(0x0F)).astype(dtype) - jnp.asarray(8.0, dtype)
+    hi = jnp.bitwise_and(packed, jnp.int8(-16)).astype(dtype)  # == 16 * W_hi
+    sl = sc_lo.astype(jnp.float32)
+    sh = sc_hi.astype(jnp.float32) * 0.0625
     acc = None
-    for gi in range(g):
-        lo = gi * INT4_GROUP_SIZE
+    for gi in range(gh):
+        r = gi * G
         part = (
-            jnp.dot(x[:, lo:lo + half], low[gi * half:(gi + 1) * half, :],
-                    preferred_element_type=jnp.float32)
-            + jnp.dot(x[:, lo + half:lo + INT4_GROUP_SIZE],
-                      high[gi * half:(gi + 1) * half, :],
-                      preferred_element_type=jnp.float32)
-        ) * sc[gi:gi + 1, :]
+            jnp.dot(xl[:, r:r + G], lo[r:r + G, :], preferred_element_type=jnp.float32)
+            * sl[gi:gi + 1, :]
+            + jnp.dot(xh[:, r:r + G], hi[r:r + G, :], preferred_element_type=jnp.float32)
+            * sh[gi:gi + 1, :]
+        )
         acc = part if acc is None else acc + part
     return acc
 
 
-def _int4_kernel_kres(x_ref, qw_ref, scale_ref, o_ref):
-    o_ref[:] = _group_dot(x_ref[:], qw_ref[:], scale_ref[:], x_ref.dtype)
+def _int4_kernel_kres(xl_ref, xh_ref, qw_ref, scale_ref, o_ref, *, gpb: int):
+    g2 = gpb // 2
+    o_ref[:] = _halves_group_dot(
+        xl_ref[:], xh_ref[:], qw_ref[:],
+        scale_ref[pl.ds(0, g2), :], scale_ref[pl.ds(g2, g2), :],
+        xl_ref.dtype,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -173,15 +187,19 @@ def _int8_kernel_ksplit(x_ref, qw_ref, scale_ref, o_ref, acc_ref, *, nk: int):
         o_ref[:] = acc_ref[:] * scale_ref[:].astype(jnp.float32)
 
 
-def _int4_kernel_ksplit(x_ref, qw_ref, scale_ref, o_ref, acc_ref, *, nk: int, gpb: int):
+def _int4_kernel_ksplit(xl_ref, xh_ref, qw_ref, sclo_ref, schi_ref, o_ref, acc_ref, *, nk: int, gpb: int):
     k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    sc = scale_ref[pl.ds(k * gpb, gpb), :]  # this chunk's groups
-    acc_ref[:] += _group_dot(x_ref[:], qw_ref[:], sc, x_ref.dtype)
+    # Chunk k's scale rows arrive pre-sliced by the BlockSpec index maps
+    # (lo block k; hi block nk + k) — Mosaic rejects dynamic-start VMEM
+    # slices keyed on the grid index, BlockSpecs do it in the DMA instead.
+    acc_ref[:] += _halves_group_dot(
+        xl_ref[:], xh_ref[:], qw_ref[:], sclo_ref[:], schi_ref[:], xl_ref.dtype
+    )
 
     @pl.when(k == nk - 1)
     def _():
@@ -208,7 +226,7 @@ def quant_matmul(x: jnp.ndarray, p: QuantLinear) -> jnp.ndarray:
     K = p.qw.shape[0] * (2 if is4 else 1)
     N = p.qw.shape[1]
     kbytes = K if not is4 else K // 2
-    resident, bm, bn = _plan(M, K, N, is4)
+    resident, bm, bn, bk = _plan(M, K, N, is4)
     xp = _pad_rows(x, bm)
     if K != x.shape[1]:
         xp = jnp.pad(xp, ((0, 0), (0, K - x.shape[1])))
@@ -218,54 +236,89 @@ def quant_matmul(x: jnp.ndarray, p: QuantLinear) -> jnp.ndarray:
 
     if resident:
         grid = (Mp // bm, N // bn)
-        kernel = _int8_kernel_kres if not is4 else _int4_kernel_kres
-        y = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((bm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((kbytes, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((g, bn) if is4 else (1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel"),
-            ),
-            cost_estimate=_common(Mp, N, K, p.mode),
-            interpret=_INTERPRET,
-        )(xp, p.qw, scale2d)
+        if is4:
+            # xl = x[:, :K/2], xh = x[:, K/2:] — sliced by BlockSpec index
+            # maps on the SAME x operand (halves layout; zero-copy).
+            y = pl.pallas_call(
+                functools.partial(_int4_kernel_kres, gpb=g),
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((bm, K // 2), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bm, K // 2), lambda i, j: (i, 1), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((kbytes, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((g, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel"),
+                ),
+                cost_estimate=_common(Mp, N, K, p.mode),
+                interpret=_INTERPRET,
+            )(xp, xp, p.qw, scale2d)
+        else:
+            y = pl.pallas_call(
+                _int8_kernel_kres,
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((bm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((kbytes, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel"),
+                ),
+                cost_estimate=_common(Mp, N, K, p.mode),
+                interpret=_INTERPRET,
+            )(xp, p.qw, scale2d)
     else:
-        BK = BK_SPLIT
-        nk = K // BK if K % BK == 0 else None
-        if nk is None:
-            BK = INT4_GROUP_SIZE if is4 else 128
-            nk = K // BK
+        BK = bk
+        nk = K // BK
         gpb = BK // INT4_GROUP_SIZE
         grid = (Mp // bm, N // bn, nk)
         if is4:
-            kernel = functools.partial(_int4_kernel_ksplit, nk=nk, gpb=gpb)
-            scale_spec = pl.BlockSpec((g, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM)
-        else:
-            kernel = functools.partial(_int8_kernel_ksplit, nk=nk)
-            scale_spec = pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM)
-        y = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec((bm, BK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (BK // 2 if is4 else BK, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM
+            y = pl.pallas_call(
+                functools.partial(_int4_kernel_ksplit, nk=nk, gpb=gpb),
+                grid=grid,
+                in_specs=[
+                    # xl chunk k = x cols [k*BK/2, ...); xh chunk = the same
+                    # offset in the second half, i.e. block index nk + k.
+                    # Scale rows follow the same pattern (k*gq / g/2 + k*gq)
+                    # — BlockSpec DMAs do the slicing; Mosaic rejects
+                    # dynamic-start VMEM slices keyed on the grid index.
+                    pl.BlockSpec((bm, BK // 2), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bm, BK // 2), lambda i, j, k, nk=nk: (i, nk + k), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BK // 2, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((gpb // 2, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((gpb // 2, bn), lambda i, j, k, nk=nk: (nk + k, j), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel", "arbitrary"),
                 ),
-                scale_spec,
-            ],
-            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary"),
-            ),
-            cost_estimate=_common(Mp, N, K, p.mode),
-            interpret=_INTERPRET,
-        )(xp, p.qw, scale2d)
+                cost_estimate=_common(Mp, N, K, p.mode),
+                interpret=_INTERPRET,
+            )(xp, xp, p.qw, scale2d, scale2d)
+        else:
+            y = pl.pallas_call(
+                functools.partial(_int8_kernel_ksplit, nk=nk),
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec((bm, BK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((BK, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel", "arbitrary"),
+                ),
+                cost_estimate=_common(Mp, N, K, p.mode),
+                interpret=_INTERPRET,
+            )(xp, p.qw, scale2d)
     return y[:M, : p.n_out]

@@ -8,10 +8,14 @@ Layout conventions (chosen for the Pallas fused dequant+matmul kernels in
 ops/pallas/quant_matmul.py):
   - weights are stored [in_features, out_features] (same as our dense layout);
   - INT8: symmetric, per-output-channel scale [out];
-  - INT4: symmetric, per-(group, out) scale [in/group, out], group along the
-    *input* (contraction) dim so a kernel tile dequantizes with one scale row;
-    two nibbles packed per int8 byte along the input dim — row 2i in the low
-    nibble, row 2i+1 in the high nibble.
+  - INT4: symmetric, per-(group, out) scale [in/group, out], groups of 128
+    contiguous rows along the *input* (contraction) dim; two nibbles packed
+    per int8 byte with HALVES pairing — byte row r holds W[r] (low nibble)
+    and W[in/2 + r] (high nibble), so each nibble plane is a contiguous
+    block of weight rows. Nibble encoding is mixed — high nibble two's
+    complement, low nibble offset-binary (+8) — so the kernel unpack needs
+    only int8 AND + int8->bf16 converts (see quantize_int4 and
+    ops/pallas/quant_matmul.py).
 """
 
 from __future__ import annotations
@@ -20,6 +24,14 @@ import jax.numpy as jnp
 import numpy as np
 
 INT4_GROUP_SIZE = 128
+
+
+def padded_out_dim(n_out: int) -> int:
+    """Column count QuantLinear pads an n_out-wide weight to. Shared with
+    the fused-QKV segment-offset math (models/model.py _qkv), which must
+    mirror the storage layout exactly."""
+    mult = 512 if n_out > 1024 else 128
+    return -(-n_out // mult) * mult
 
 
 def _pad_to(x: np.ndarray, axis: int, mult: int) -> np.ndarray:
@@ -70,9 +82,16 @@ class QuantLinear:
     def from_dense(cls, w: np.ndarray, b, mode: str) -> "QuantLinear":
         n_in, n_out = w.shape
         # Large contraction dims pad to a coarse multiple so the k-split
-        # kernel gets big chunks (18176 would otherwise force 128-row steps).
-        kmult = 2048 if n_in > 8192 else 128
-        w = _pad_to(_pad_to(w, 0, kmult), 1, 128)
+        # kernel gets big chunks (18176 would otherwise force 128-row steps);
+        # 256 minimum so each packed half is whole 128-row groups.
+        kmult = 2048 if n_in > 8192 else 256
+        # Output dims pad per padded_out_dim (512 past 1024 cols) so the
+        # kernel can tile bn=512: fewer grid steps beat the extra zero
+        # columns (they are sliced off the output by n_out).
+        w = _pad_to(w, 0, kmult)
+        target = padded_out_dim(n_out)
+        if w.shape[1] != target:
+            w = np.pad(w, [(0, 0), (0, target - w.shape[1])])
         if mode == "int8":
             qw, scale = quantize_int8(w)
         elif mode == "int4":
@@ -106,38 +125,51 @@ def quantize_int4(w: np.ndarray, group_size: int = INT4_GROUP_SIZE) -> tuple[np.
     """w [in, out] float -> (packed int8 [in//2, out], scales f32 [in//group, out]).
 
     Values are quantized to [-8, 7] with per-(group, out-channel) scales,
-    groups along the input (contraction) dim. TPU-friendly packing: within
-    each group of `group_size` rows, row r (low nibble) pairs with row
-    r + group_size/2 (high nibble) — unpacking in a kernel is then a
-    contiguous sublane concat, not an interleave.
+    groups of `group_size` CONTIGUOUS rows along the input (contraction) dim.
+
+    HALVES packing: packed byte row r holds W[r] in the low nibble and
+    W[in/2 + r] in the high nibble. Each nibble plane is then a contiguous
+    block of weight rows whose matching activation columns are the plain
+    halves x[:, :K/2] / x[:, K/2:] — the kernel slices them for free with
+    BlockSpec index maps (no gather, no relayout) and runs one depth-128
+    dot per scale group (ops/pallas/quant_matmul.py).
+
+    Mixed nibble encoding (Mosaic can't legalize sub-int32 shifts; int8 AND
+    + int8->bf16 convert are the cheapest legal unpack):
+      high nibble: plain two's complement — (byte & 0xF0) as a SIGNED int8
+        equals 16*high, so `(v & -16).astype(bf16) * 0.0625` is exact;
+      low nibble: offset-binary (n+8, in [0,15]) — `(v & 0x0F).astype(bf16)
+        - 8` is exact (no sign extension needed).
     """
     w = np.asarray(w, dtype=np.float32)
     n_in, n_out = w.shape
-    if n_in % group_size != 0:
-        pad = group_size - n_in % group_size
+    # Both halves must be whole groups: pad to 2*group_size.
+    if n_in % (2 * group_size) != 0:
+        pad = 2 * group_size - n_in % (2 * group_size)
         w = np.concatenate([w, np.zeros((pad, n_out), np.float32)], axis=0)
         n_in = w.shape[0]
     g = n_in // group_size
-    half = group_size // 2
     wg = w.reshape(g, group_size, n_out)
     amax = np.max(np.abs(wg), axis=1)  # [g, out]
     scales = np.where(amax > 0, amax / 7.0, 1.0).astype(np.float32)
-    q = np.clip(np.rint(wg / scales[:, None, :]), -8, 7).astype(np.int8)
-    low, high = q[:, :half], q[:, half:]
-    packed = ((high << 4) | (low & 0xF)).reshape(g * half, n_out).astype(np.int8)
+    # Round scales to bf16-representable values BEFORE quantizing, so a
+    # kernel may apply them in bf16 exactly if it chooses — the int grid
+    # absorbs the rounding instead of the output.
+    import ml_dtypes
+
+    scales = scales.astype(ml_dtypes.bfloat16).astype(np.float32)
+    q = np.clip(np.rint(wg / scales[:, None, :]), -8, 7).astype(np.int8).reshape(n_in, n_out)
+    low, high = q[: n_in // 2], q[n_in // 2 :]
+    packed = ((high << 4) | ((low + 8) & 0xF)).astype(np.int8)
     return packed, scales
 
 
 def unpack_int4(packed: jnp.ndarray, group_size: int = INT4_GROUP_SIZE) -> jnp.ndarray:
-    """packed int8 [in//2, out] -> int8 [in, out] with sign extension
-    (inverse of the group-paired packing above)."""
-    half = group_size // 2
-    n2, out = packed.shape
-    g = n2 // half
-    p = packed.reshape(g, half, out)
-    low = jnp.right_shift(jnp.left_shift(p, 4), 4)  # arithmetic => sign-extend
-    high = jnp.right_shift(p, 4)
-    return jnp.concatenate([low, high], axis=1).reshape(g * group_size, out)
+    """packed int8 [in//2, out] -> int8 [in, out] (inverse of the halves
+    packing above: low-nibble plane = rows [0, in/2), high = [in/2, in))."""
+    low = (jnp.bitwise_and(packed, 0x0F) - 8).astype(jnp.int8)  # offset-binary
+    high = jnp.right_shift(packed, 4)           # arithmetic => sign-extend
+    return jnp.concatenate([low, high], axis=0)
 
 
 def dequantize_int4(

@@ -239,7 +239,7 @@ def test_quantized_load_and_cache(tmp_path):
     # Second load hits the sidecar cache and matches exactly.
     import os
 
-    assert os.path.exists(os.path.join(d, ".nv_quant_int8.pkl"))
+    assert os.path.exists(os.path.join(d, ".nv_quant_int8_p2.pkl"))
     cfg, params_q2 = load_model_dir(d, dtype="float32", quantization="int8")
     got2 = run_prefill_logits_all(cfg, params_q2, TOKENS)
     np.testing.assert_array_equal(got, got2)

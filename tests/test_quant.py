@@ -70,3 +70,28 @@ def test_pallas_kernel_interpret_matches_fallback(mode):
         set_use_pallas(None)
         pk.set_interpret(False)
     np.testing.assert_allclose(y_k, y_ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("mode", ["int8", "int4"])
+def test_pallas_ksplit_interpret_matches_fallback(mode, monkeypatch):
+    """Force the k-split grid (small K_RESIDENT) — covers the halves-layout
+    xh block offset and per-chunk scale slicing."""
+    from nanovllm_tpu.ops.pallas import quant_matmul as pk
+
+    monkeypatch.setattr(pk, "K_RESIDENT", 128)
+    rng = np.random.default_rng(11)
+    # K=4096 so the int4 plan lands on a real bk (2048-multiple, matching
+    # the TPU scale-block alignment rule) rather than the fallback.
+    w = (rng.standard_normal((4096, 384)) * 0.1).astype(np.float32)
+    x = (rng.standard_normal((24, 4096)) * 0.5).astype(np.float32)
+    ql = Q.QuantLinear.from_dense(w, None, mode)
+    set_use_pallas(False)
+    y_ref = np.asarray(linear(ql, jnp.asarray(x)))
+    pk.set_interpret(True)
+    set_use_pallas(True)
+    try:
+        y_k = np.asarray(linear(ql, jnp.asarray(x)))
+    finally:
+        set_use_pallas(None)
+        pk.set_interpret(False)
+    np.testing.assert_allclose(y_k, y_ref, rtol=2e-2, atol=2e-2)

@@ -27,9 +27,9 @@ cfg = ModelConfig(
     activation=ActivationType.GELU, block_style=BlockStyle.PARALLEL,
     tie_word_embeddings=True, dtype="bfloat16", model_type="falcon", eos_token_id=11,
 )
-B, PROMPT, DECODE = 32, 128, 32
+B, PROMPT, DECODE = 32, 128, 64
 
-with open("/tmp/nanovllm_bench_falcon7b_int4_v2.pkl", "rb") as f:
+with open("/tmp/nanovllm_bench_falcon7b_int4_v3.pkl", "rb") as f:
     params_np = pickle.load(f)
 params_np = M.fuse_qkv_params(params_np)
 params = M.to_device_params(params_np, cfg)
@@ -38,7 +38,7 @@ ecfg = EngineConfig(
     max_num_batched_tokens=4096, max_num_seqs=B, max_model_len=512,
     kv_block_size=128, kv_pool_bytes=1 << 30, max_decode_slots=B,
     min_prefill_bucket=128, eos_token_id=11, quantization="int4",
-    enable_prefix_caching=False, decode_burst=8,
+    enable_prefix_caching=False, decode_burst=32,
 )
 llm = LLM(model_config=cfg, engine_config=ecfg, params=params)
 eng = llm.engine
@@ -54,14 +54,15 @@ while not eng.is_finished():
 
 for p in prompts:
     eng.add_request(p, sp)
-for _ in range(4):
+# prefill step + one decode burst; leaves exactly one full burst for the trace
+for _ in range(2):
     if not eng.is_finished():
         eng.step()
 
 trace_dir = "/tmp/nvtrace_falcon"
 os.system(f"rm -rf {trace_dir}")
 with jax.profiler.trace(trace_dir):
-    for _ in range(2):
+    for _ in range(1):
         if not eng.is_finished():
             eng.step()
 while not eng.is_finished():
