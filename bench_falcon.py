@@ -55,8 +55,10 @@ def main():
 
     B = int(os.environ.get("FALCON_LANES", "32"))
     PROMPT = int(os.environ.get("FALCON_PROMPT", "128"))
-    DECODE = int(os.environ.get("FALCON_DECODE", "32"))
-    BURST = int(os.environ.get("FALCON_BURST", "8"))
+    # Burst 32 amortizes the tunnel round-trip to ~0.9ms/step (measured r3:
+    # burst 8 -> 2,246 tok/s, burst 32 -> 2,936 tok/s at 32 lanes).
+    DECODE = int(os.environ.get("FALCON_DECODE", "96"))
+    BURST = int(os.environ.get("FALCON_BURST", "32"))
 
     t0 = time.time()
 

@@ -117,6 +117,14 @@ class ModelConfig:
     # 8-32 experts). Use >= 1.0 for large expert counts under EP, where dense
     # compute is X/k-fold waste.
     moe_capacity_factor: float = 0.0
+    # Dispatch only pays off once the layer is FLOPs-bound: measured on v5e
+    # at Granite-MoE-1B shapes (tools/ubench_moe.py), dense wins up to
+    # T=256 (weight-stream-bound — all experts are streamed either way,
+    # and dispatch adds gather/scatter), dispatch wins from T~1024
+    # (447µs vs 622µs at factor 1.0; 2,360µs vs 3,426µs at T=4096). T is
+    # static at trace time, so the switch is per-compiled-shape: decode and
+    # small prefill ride the exact dense path, large prefill dispatches.
+    moe_dispatch_min_tokens: int = 1024
 
     # muP multipliers (Granite; reference generic_model.go:298-301,320-325,
     # 473-477 — NB logits are *divided* by logits_scaling).

@@ -12,8 +12,11 @@ expert FFNs run as dense einsums over the stacked expert weights
 on the MXU and the combine matrix zeroes the non-selected ones. That is
 exact (identical to sort-based dispatch) and compiles to three big batched
 matmuls with no dynamic shapes. For LARGE expert counts under expert
-parallelism, `moe_forward_dispatch` (ModelConfig.moe_capacity_factor > 0)
-provides the capacity-bounded gather/scatter dispatch: expert-major static
+parallelism, `moe_forward_dispatch` (ModelConfig.moe_capacity_factor > 0
+and T >= moe_dispatch_min_tokens — the measured v5e crossover is T~1024;
+below it dense is weight-stream-bound and dispatch's gather/scatter only
+adds overhead, tools/ubench_moe.py) provides the capacity-bounded
+gather/scatter dispatch: expert-major static
 [X, C] batches, compute scaling with T*k instead of T*X, standard
 capacity-drop semantics on overflow.
 
@@ -119,7 +122,7 @@ def moe_forward(
 
     T = x.shape[0]
     k = cfg.num_experts_per_tok
-    if cfg.moe_capacity_factor > 0:
+    if cfg.moe_capacity_factor > 0 and T >= cfg.moe_dispatch_min_tokens:
         import math
 
         C = math.ceil(T * k / cfg.num_experts * cfg.moe_capacity_factor)

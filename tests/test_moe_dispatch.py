@@ -34,7 +34,9 @@ def test_dispatch_matches_dense_with_ample_capacity():
     np.testing.assert_allclose(np.asarray(disp), np.asarray(dense), rtol=1e-5, atol=1e-5)
 
     # Through the config switch (factor large enough that C >= any expert load).
-    cfg_big = dataclasses.replace(cfg, moe_capacity_factor=float(cfg.num_experts))
+    cfg_big = dataclasses.replace(
+        cfg, moe_capacity_factor=float(cfg.num_experts), moe_dispatch_min_tokens=1
+    )
     via_cfg = moe_ops.moe_forward(cfg_big, p, x)
     np.testing.assert_allclose(np.asarray(via_cfg), np.asarray(dense), rtol=1e-5, atol=1e-5)
 
@@ -140,3 +142,37 @@ def test_dispatch_ep_flops_partition_and_collectives():
     assert any(c in hlo for c in ("all-reduce", "all-gather", "reduce-scatter")), (
         "no collective in EP dispatch HLO"
     )
+
+
+def test_dispatch_threshold_rides_dense_below_min_tokens():
+    """moe_dispatch_min_tokens gates the dispatch path per compiled shape
+    (measured v5e crossover ~1024: dense is weight-stream-bound below it).
+    With a capacity factor tight enough that dispatch WOULD drop tokens,
+    small-T moe_forward must still equal the exact dense path — proof it
+    compiled the dense program — while T >= threshold shows the drop."""
+    cfg = make_cfg(
+        num_experts=4, num_experts_per_tok=1, moe_router_renormalize=False,
+        moe_capacity_factor=1.0, moe_dispatch_min_tokens=8,
+    )
+    rng = np.random.default_rng(4)
+    p = moe_ops.init_moe_params(cfg, rng)
+    p = {k: jnp.asarray(v) if not isinstance(v, dict) else v for k, v in p.items()}
+    row = rng.standard_normal((1, cfg.hidden_size)).astype(np.float32)
+
+    # T=4 < threshold: identical rows would exceed capacity under dispatch,
+    # but the dense path computes them all exactly.
+    x_small = jnp.asarray(np.repeat(row, 4, axis=0))
+    dense = moe_ops.moe_forward(dataclasses.replace(cfg, moe_capacity_factor=0.0), p, x_small)
+    out = moe_ops.moe_forward(cfg, p, x_small)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense), rtol=1e-5, atol=1e-5)
+
+    # T=8 >= threshold: same rows now go through dispatch; capacity
+    # ceil(8*1/4*1.0)=2 -> 8-pad to 8... capacity floors at 8, so force the
+    # drop with more identical rows than capacity.
+    x_big = jnp.asarray(np.repeat(row, 16, axis=0))
+    cfg16 = dataclasses.replace(cfg, moe_dispatch_min_tokens=16)
+    out_big = moe_ops.moe_forward(cfg16, p, x_big)
+    dense_big = moe_ops.moe_forward(dataclasses.replace(cfg, moe_capacity_factor=0.0), p, x_big)
+    # capacity = ceil(16/4)=4 -> padded to 8 < 16 identical rows: tail dropped.
+    assert np.abs(np.asarray(out_big)[-1]).max() == 0.0
+    np.testing.assert_allclose(np.asarray(out_big)[0], np.asarray(dense_big)[0], rtol=1e-5, atol=1e-5)
