@@ -1,12 +1,14 @@
 """Benchmark: Llama-3.2-1B-shaped decode throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} —
+extra keys publish serving latency (p50/p99 TTFT from a staggered-arrival
+phase; BASELINE.md names p50 TTFT as a target metric).
 Baseline: the reference engine's Llama 3.2 1B decode throughput of ~1.7 tok/s
 on CPU (BASELINE.md; /root/reference/README.md:144). Weights are random
 (no checkpoint egress in this environment) at the real model's exact shapes —
 identical FLOPs/bytes per token — INT8 weight-only via the fused Pallas
 dequant+matmul kernels, bf16 activations, paged KV, batched continuous
-decode at 32 lanes.
+decode at 64 lanes (NANOVLLM_BENCH_LANES overrides).
 """
 
 from __future__ import annotations
@@ -18,44 +20,21 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+from tools.bench_common import llama1b_device_params, llama1b_model_config, log, percentile
 
 
 def main():
     import jax
 
-    from nanovllm_tpu.config import (
-        ActivationType, EngineConfig, ModelConfig, NormType, PositionType, RopeScalingConfig,
-    )
+    from nanovllm_tpu.config import EngineConfig
     from nanovllm_tpu.engine.llm import LLM
-    from nanovllm_tpu.io.loader import quantize_params
-    from nanovllm_tpu.models import model as M
     from nanovllm_tpu.sampling_params import SamplingParams
 
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
 
-    # Llama-3.2-1B architecture (tied embeddings, GQA 32:8, SwiGLU 8192).
-    cfg = ModelConfig(
-        vocab_size=128256,
-        hidden_size=2048,
-        num_layers=16,
-        num_heads=32,
-        num_kv_heads=8,
-        head_dim=64,
-        intermediate_size=8192,
-        max_seq_len=4096,
-        norm_type=NormType.RMSNORM,
-        position_type=PositionType.ROPE,
-        activation=ActivationType.SWIGLU,
-        rope_theta=500000.0,
-        rope_scaling=RopeScalingConfig(),
-        tie_word_embeddings=True,
-        dtype="bfloat16",
-        model_type="llama",
-        eos_token_id=128001,
-    )
+    cfg = llama1b_model_config()
     # 64 lanes: the r1 sub-linear-scaling blocker was the per-step KV scatter;
     # with burst-deferred writes B=64 measures 9,188 tok/s vs B=32's 6,388
     # (B=128 regresses — pregather exceeds the HBM cap and falls per-step).
@@ -63,30 +42,8 @@ def main():
     PROMPT = int(os.environ.get("NANOVLLM_BENCH_PROMPT", "128"))
     DECODE = int(os.environ.get("NANOVLLM_BENCH_DECODE", "64"))
 
-    t0 = time.time()
     rng = np.random.default_rng(0)
-    cache = "/tmp/nanovllm_bench_llama1b_int8_v3.pkl"
-    import pickle
-
-    if os.path.exists(cache):
-        log("loading cached quantized weights...")
-        with open(cache, "rb") as f:
-            params_np = pickle.load(f)
-    else:
-        log("initializing random weights at real shapes...")
-        params_np = M.init_params(cfg, seed=0, numpy=True)
-        params_np = quantize_params(params_np, "int8")
-        try:
-            with open(cache, "wb") as f:
-                pickle.dump(params_np, f)
-        except OSError:
-            pass
-    if os.environ.get("NANOVLLM_BENCH_FUSE", "1") == "1":
-        # Post-quantization q/k/v fusion is numerics-identical (per-column
-        # scales) — one input-projection dispatch per layer instead of three.
-        params_np = M.fuse_qkv_params(params_np)
-    params = M.to_device_params(params_np, cfg)
-    log(f"weights ready in {time.time()-t0:.1f}s")
+    params = llama1b_device_params(cfg, "int8")
 
     ecfg = EngineConfig(
         max_num_batched_tokens=8192,
@@ -141,6 +98,38 @@ def main():
     log(f"prefill: {m['prefill_tokens']} tok in {m['prefill_time']:.2f}s = {prefill_tok_s:.1f} tok/s")
     log(f"decode:  {m['decode_tokens']} tok in {m['decode_time']:.2f}s = {decode_tok_s:.1f} tok/s")
 
+    # Serving phase: staggered (Poisson) arrivals at ~40% of the measured
+    # decode capacity, same (already-compiled) prompt/decode shapes, p50/p99
+    # TTFT from per-request arrival->first-token (engine RequestOutput.ttft_s).
+    n_req = 2 * B
+    cap_req_s = max(decode_tok_s / DECODE, 1.0)
+    rate = float(os.environ.get("NANOVLLM_BENCH_ARRIVAL_RATE", 0.4 * cap_req_s))
+    arrivals = np.cumsum(rng.exponential(1.0 / rate, size=n_req))
+    log(f"serving phase: {n_req} requests, Poisson rate {rate:.1f} req/s...")
+    ttfts: list[float] = []
+    t_start = time.perf_counter()
+    sent = 0
+    done = 0
+    while done < n_req:
+        now = time.perf_counter() - t_start
+        while sent < n_req and arrivals[sent] <= now:
+            eng.add_request(prompts[sent % B], sp)
+            sent += 1
+        if sent < n_req and eng.is_finished():
+            time.sleep(min(0.002, max(0.0, arrivals[sent] - now)))
+            continue
+        for out in eng.step():
+            done += 1
+            if out.ttft_s is not None:
+                ttfts.append(out.ttft_s)
+    wall = time.perf_counter() - t_start
+    p50 = percentile(ttfts, 50) * 1e3
+    p99 = percentile(ttfts, 99) * 1e3
+    log(
+        f"serving: {n_req} reqs in {wall:.1f}s ({n_req/wall:.1f} req/s), "
+        f"TTFT p50={p50:.1f}ms p99={p99:.1f}ms"
+    )
+
     baseline = 1.7  # reference Llama-3.2-1B decode tok/s on CPU
     print(
         json.dumps(
@@ -149,6 +138,10 @@ def main():
                 "value": round(decode_tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(decode_tok_s / baseline, 2),
+                "p50_ttft_ms": round(p50, 1),
+                "p99_ttft_ms": round(p99, 1),
+                "serving_arrival_rate_req_s": round(rate, 1),
+                "prefill_tok_s": round(prefill_tok_s, 1),
             }
         ),
         flush=True,

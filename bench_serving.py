@@ -1,0 +1,161 @@
+"""Serving-latency benchmark: staggered (Poisson) arrivals, mixed prompt
+lengths, prefix caching ON — publishes p50/p99 TTFT and sustained decode
+tok/s on one TPU chip (BASELINE.md names p50 TTFT as a target metric; the
+reference publishes no latency numbers at all).
+
+Unlike bench.py's closed-batch rounds, requests arrive over time at a
+configurable rate (default ~40% of measured decode capacity), prompt
+lengths are drawn from {64, 128, 256, 512} (power-of-two compile buckets),
+and half the prompts share a 64-token prefix so the prefix cache is
+exercised. The identical trace runs once untimed (compiling every bucket)
+and once timed.
+
+Prints ONE JSON line:
+  {"metric": "llama3.2-1b int8 serving p50 TTFT (1 chip)", "value": ...,
+   "unit": "ms", ...extras: p99_ttft_ms, decode_tok_s, req_s}
+
+Env knobs: SERVING_RATE (req/s), SERVING_N (requests), SERVING_LANES,
+SERVING_BURST (decode burst — latency/throughput trade, see
+docs/PERFORMANCE.md "Knobs").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tools.bench_common import llama1b_device_params, llama1b_model_config, log, percentile
+
+PROMPT_LENS = (64, 128, 256, 512)
+SHARED_PREFIX = 64
+
+
+def build_trace(rng, n_req, vocab):
+    """(prompt, max_tokens) per request; half share a 64-token prefix."""
+    prefix = rng.integers(1, vocab, size=SHARED_PREFIX).tolist()
+    trace = []
+    for i in range(n_req):
+        plen = int(rng.choice(PROMPT_LENS))
+        if i % 2 == 0 and plen > SHARED_PREFIX:
+            body = rng.integers(1, vocab, size=plen - SHARED_PREFIX).tolist()
+            prompt = prefix + body
+        else:
+            prompt = rng.integers(1, vocab, size=plen).tolist()
+        trace.append((prompt, int(rng.choice((32, 64, 128)))))
+    return trace
+
+
+def run_trace(eng, trace, arrivals, sp_for):
+    """Drive the engine against timestamped arrivals; returns (ttfts, wall)."""
+    n_req = len(trace)
+    ttfts = []
+    t_start = time.perf_counter()
+    sent = done = 0
+    while done < n_req:
+        now = time.perf_counter() - t_start
+        while sent < n_req and arrivals[sent] <= now:
+            prompt, max_toks = trace[sent]
+            eng.add_request(prompt, sp_for(max_toks))
+            sent += 1
+        if sent < n_req and eng.is_finished():
+            time.sleep(min(0.002, max(0.0, arrivals[sent] - now)))
+            continue
+        for out in eng.step():
+            done += 1
+            if out.ttft_s is not None:
+                ttfts.append(out.ttft_s)
+    return ttfts, time.perf_counter() - t_start
+
+
+def main():
+    import jax
+
+    from nanovllm_tpu.config import EngineConfig
+    from nanovllm_tpu.engine.llm import LLM
+    from nanovllm_tpu.sampling_params import SamplingParams
+
+    log(f"backend={jax.default_backend()} devices={jax.devices()}")
+
+    cfg = llama1b_model_config()
+    B = int(os.environ.get("SERVING_LANES", "64"))
+    N = int(os.environ.get("SERVING_N", "192"))
+    BURST = int(os.environ.get("SERVING_BURST", "8"))
+
+    rng = np.random.default_rng(1)
+    params = llama1b_device_params(cfg, "int8")
+
+    ecfg = EngineConfig(
+        max_num_batched_tokens=8192,
+        max_num_seqs=B,
+        max_model_len=1024,
+        kv_block_size=128,
+        kv_pool_bytes=2 << 30,
+        max_decode_slots=B,
+        min_prefill_bucket=64,
+        eos_token_id=cfg.eos_token_ids[0],
+        quantization="int8",
+        decode_burst=BURST,
+        enable_prefix_caching=True,
+    )
+    llm = LLM(model_config=cfg, engine_config=ecfg, params=params)
+    eng = llm.engine
+
+    trace = build_trace(rng, N, cfg.vocab_size)
+    sp_for = lambda mt: SamplingParams(temperature=0.0, max_tokens=mt, ignore_eos=True)  # noqa: E731
+
+    # Untimed pass: compile every (bucket, batch) shape on the same trace.
+    log("warmup pass (compiling all buckets)...")
+    t0 = time.time()
+    warm_arrivals = np.zeros(N)  # all-at-once is fine for compiling
+    run_trace(eng, trace, warm_arrivals, sp_for)
+    log(f"warmup done in {time.time()-t0:.1f}s")
+
+    # Estimate capacity from the warmup to set the default arrival rate.
+    m = eng.metrics
+    decode_tok_s_warm = m["decode_tokens"] / m["decode_time"] if m["decode_time"] else 5000.0
+    mean_decode = float(np.mean([mt for _, mt in trace]))
+    cap_req_s = decode_tok_s_warm / mean_decode
+    rate = float(os.environ.get("SERVING_RATE", 0.4 * cap_req_s))
+
+    for k in eng.metrics:
+        eng.metrics[k] = 0.0 if isinstance(eng.metrics[k], float) else 0
+    arrivals = np.cumsum(rng.exponential(1.0 / rate, size=N))
+    log(f"timed pass: {N} requests, Poisson rate {rate:.1f} req/s "
+        f"(~40% of {cap_req_s:.0f} req/s capacity)...")
+    ttfts, wall = run_trace(eng, trace, arrivals, sp_for)
+
+    m = eng.metrics
+    decode_tok_s = m["decode_tokens"] / m["decode_time"] if m["decode_time"] else 0.0
+    p50 = percentile(ttfts, 50) * 1e3
+    p99 = percentile(ttfts, 99) * 1e3
+    log(
+        f"served {N} reqs in {wall:.1f}s ({N/wall:.1f} req/s) | "
+        f"TTFT p50={p50:.1f}ms p99={p99:.1f}ms | decode {decode_tok_s:.0f} tok/s | "
+        f"prefix-cache hits {m['cached_prompt_tokens']:.0f} tok"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "llama3.2-1b int8 serving p50 TTFT (1 chip)",
+                "value": round(p50, 1),
+                "unit": "ms",
+                "p99_ttft_ms": round(p99, 1),
+                "decode_tok_s": round(decode_tok_s, 1),
+                "req_s": round(N / wall, 1),
+                "arrival_rate_req_s": round(rate, 1),
+                "decode_burst": BURST,
+                "cached_prompt_tokens": int(m["cached_prompt_tokens"]),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

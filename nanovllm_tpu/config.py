@@ -124,6 +124,12 @@ class ModelConfig:
     # (447µs vs 622µs at factor 1.0; 2,360µs vs 3,426µs at T=4096). T is
     # static at trace time, so the switch is per-compiled-shape: decode and
     # small prefill ride the exact dense path, large prefill dispatches.
+    # NB the 1024 crossover was measured SINGLE-chip, where dense is
+    # weight-stream-bound (all experts stream regardless). Under expert
+    # parallelism that argument collapses — expert weights are sharded, and
+    # dense compute is X/k-fold waste at every T — so EP deployments should
+    # set this to 1 (and size moe_capacity_factor from measured drop rates,
+    # ops/moe.py moe_dispatch_drop_stats).
     moe_dispatch_min_tokens: int = 1024
 
     # muP multipliers (Granite; reference generic_model.go:298-301,320-325,

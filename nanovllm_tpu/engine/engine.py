@@ -49,13 +49,17 @@ class MockTokenizer:
 
 
 class RequestOutput:
-    def __init__(self, seq: Sequence, text: str):
+    def __init__(self, seq: Sequence, text: str, ttft_s: Optional[float] = None):
         self.seq_id = seq.seq_id
         self.token_ids = list(seq.completion_token_ids)
         self.text = text
         self.finish_reason = seq.finish_reason
         self.num_prompt_tokens = seq.num_prompt_tokens
         self.num_cached_tokens = seq.num_cached_tokens
+        # Time-to-first-token (arrival -> end of the prefill step that
+        # produced the first token), for serving-latency benches. None for
+        # requests that never prefilled (errored/aborted before scheduling).
+        self.ttft_s = ttft_s
 
 
 class LLMEngine:
@@ -204,7 +208,7 @@ class LLMEngine:
         outputs = []
         for seq in finished:
             text = self.tokenizer.decode(seq.completion_token_ids)
-            outputs.append(RequestOutput(seq, text))
+            outputs.append(RequestOutput(seq, text, self._first_token.get(seq.seq_id)))
             del self._seqs[seq.seq_id]
             self._arrival.pop(seq.seq_id, None)
             self._first_token.pop(seq.seq_id, None)

@@ -105,31 +105,30 @@ def _gpt2_prelude(sd: dict, cfg: ModelConfig) -> dict:
 
 
 def _gpt2_block(sd: dict, cfg: ModelConfig, i: int) -> dict:
-    if True:
-        p = f"transformer.h.{i}"
-        w = sd[f"{p}.attn.c_attn.weight"]  # [E, 3E] fused (Conv1D layout)
-        b = sd.get(f"{p}.attn.c_attn.bias")
-        q_w, k_w, v_w = np.split(w, 3, axis=1)  # column split (ref :674-702)
-        blk = {
-            "ln1": _norm(sd, f"{p}.ln_1"),
-            "attn": {
-                "q": {"w": q_w},
-                "k": {"w": k_w},
-                "v": {"w": v_w},
-                "o": _lin(sd, f"{p}.attn.c_proj.weight", f"{p}.attn.c_proj.bias"),
-            },
-            "ln2": _norm(sd, f"{p}.ln_2"),
-            "mlp": {
-                "up": _lin(sd, f"{p}.mlp.c_fc.weight", f"{p}.mlp.c_fc.bias"),
-                "down": _lin(sd, f"{p}.mlp.c_proj.weight", f"{p}.mlp.c_proj.bias"),
-            },
-        }
-        if b is not None:
-            qb, kb, vb = np.split(b, 3)
-            blk["attn"]["q"]["b"] = qb
-            blk["attn"]["k"]["b"] = kb
-            blk["attn"]["v"]["b"] = vb
-        return blk
+    p = f"transformer.h.{i}"
+    w = sd[f"{p}.attn.c_attn.weight"]  # [E, 3E] fused (Conv1D layout)
+    b = sd.get(f"{p}.attn.c_attn.bias")
+    q_w, k_w, v_w = np.split(w, 3, axis=1)  # column split (ref :674-702)
+    blk = {
+        "ln1": _norm(sd, f"{p}.ln_1"),
+        "attn": {
+            "q": {"w": q_w},
+            "k": {"w": k_w},
+            "v": {"w": v_w},
+            "o": _lin(sd, f"{p}.attn.c_proj.weight", f"{p}.attn.c_proj.bias"),
+        },
+        "ln2": _norm(sd, f"{p}.ln_2"),
+        "mlp": {
+            "up": _lin(sd, f"{p}.mlp.c_fc.weight", f"{p}.mlp.c_fc.bias"),
+            "down": _lin(sd, f"{p}.mlp.c_proj.weight", f"{p}.mlp.c_proj.bias"),
+        },
+    }
+    if b is not None:
+        qb, kb, vb = np.split(b, 3)
+        blk["attn"]["q"]["b"] = qb
+        blk["attn"]["k"]["b"] = kb
+        blk["attn"]["v"]["b"] = vb
+    return blk
 
 
 def _llama_prelude(sd: dict, cfg: ModelConfig) -> dict:
@@ -145,26 +144,25 @@ def _llama_prelude(sd: dict, cfg: ModelConfig) -> dict:
 
 
 def _llama_block(sd: dict, cfg: ModelConfig, i: int) -> dict:
-    if True:
-        p = f"model.layers.{i}"
-        gate = sd[f"{p}.mlp.gate_proj.weight"].T  # [E, I]
-        up = sd[f"{p}.mlp.up_proj.weight"].T
-        blk = {
-            "ln1": _norm(sd, f"{p}.input_layernorm"),
-            "attn": {
-                "q": _lin_t(sd, f"{p}.self_attn.q_proj.weight", f"{p}.self_attn.q_proj.bias"),
-                "k": _lin_t(sd, f"{p}.self_attn.k_proj.weight", f"{p}.self_attn.k_proj.bias"),
-                "v": _lin_t(sd, f"{p}.self_attn.v_proj.weight", f"{p}.self_attn.v_proj.bias"),
-                "o": _lin_t(sd, f"{p}.self_attn.o_proj.weight"),
-            },
-            "ln2": _norm(sd, f"{p}.post_attention_layernorm"),
-            "mlp": {
-                # gate-first concat (SwiGLU ordering bug site, BUGFIX_SWIGLU.md)
-                "up": {"w": np.concatenate([gate, up], axis=1)},
-                "down": _lin_t(sd, f"{p}.mlp.down_proj.weight"),
-            },
-        }
-        return blk
+    p = f"model.layers.{i}"
+    gate = sd[f"{p}.mlp.gate_proj.weight"].T  # [E, I]
+    up = sd[f"{p}.mlp.up_proj.weight"].T
+    blk = {
+        "ln1": _norm(sd, f"{p}.input_layernorm"),
+        "attn": {
+            "q": _lin_t(sd, f"{p}.self_attn.q_proj.weight", f"{p}.self_attn.q_proj.bias"),
+            "k": _lin_t(sd, f"{p}.self_attn.k_proj.weight", f"{p}.self_attn.k_proj.bias"),
+            "v": _lin_t(sd, f"{p}.self_attn.v_proj.weight", f"{p}.self_attn.v_proj.bias"),
+            "o": _lin_t(sd, f"{p}.self_attn.o_proj.weight"),
+        },
+        "ln2": _norm(sd, f"{p}.post_attention_layernorm"),
+        "mlp": {
+            # gate-first concat (SwiGLU ordering bug site, BUGFIX_SWIGLU.md)
+            "up": {"w": np.concatenate([gate, up], axis=1)},
+            "down": _lin_t(sd, f"{p}.mlp.down_proj.weight"),
+        },
+    }
+    return blk
 
 
 def split_falcon_qkv(
@@ -206,28 +204,27 @@ def _falcon_block(sd: dict, cfg: ModelConfig, i: int) -> dict:
     # a per-KV-group interleaved fused QKV; Falcon-7B has a single
     # input_layernorm and a plain [Q..., K, V] split.
     new_arch = "transformer.h.0.ln_attn.weight" in sd
-    if True:
-        p = f"transformer.h.{i}"
-        qkv = sd[f"{p}.self_attention.query_key_value.weight"]
-        q, k, v = split_falcon_qkv(
-            qkv, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, new_decoder_arch=new_arch
-        )
-        blk = {
-            "ln1": _norm(sd, f"{p}.ln_attn" if new_arch else f"{p}.input_layernorm"),
-            "attn": {
-                "q": {"w": np.ascontiguousarray(q.T)},
-                "k": {"w": np.ascontiguousarray(k.T)},
-                "v": {"w": np.ascontiguousarray(v.T)},
-                "o": _lin_t(sd, f"{p}.self_attention.dense.weight"),
-            },
-            "mlp": {
-                "up": _lin_t(sd, f"{p}.mlp.dense_h_to_4h.weight", f"{p}.mlp.dense_h_to_4h.bias"),
-                "down": _lin_t(sd, f"{p}.mlp.dense_4h_to_h.weight", f"{p}.mlp.dense_4h_to_h.bias"),
-            },
-        }
-        if new_arch:
-            blk["ln2"] = _norm(sd, f"{p}.ln_mlp")
-        return blk
+    p = f"transformer.h.{i}"
+    qkv = sd[f"{p}.self_attention.query_key_value.weight"]
+    q, k, v = split_falcon_qkv(
+        qkv, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim, new_decoder_arch=new_arch
+    )
+    blk = {
+        "ln1": _norm(sd, f"{p}.ln_attn" if new_arch else f"{p}.input_layernorm"),
+        "attn": {
+            "q": {"w": np.ascontiguousarray(q.T)},
+            "k": {"w": np.ascontiguousarray(k.T)},
+            "v": {"w": np.ascontiguousarray(v.T)},
+            "o": _lin_t(sd, f"{p}.self_attention.dense.weight"),
+        },
+        "mlp": {
+            "up": _lin_t(sd, f"{p}.mlp.dense_h_to_4h.weight", f"{p}.mlp.dense_h_to_4h.bias"),
+            "down": _lin_t(sd, f"{p}.mlp.dense_4h_to_h.weight", f"{p}.mlp.dense_4h_to_h.bias"),
+        },
+    }
+    if new_arch:
+        blk["ln2"] = _norm(sd, f"{p}.ln_mlp")
+    return blk
 
 
 def _granite_moe_prelude(sd: dict, cfg: ModelConfig) -> dict:
@@ -244,28 +241,27 @@ def _granite_moe_prelude(sd: dict, cfg: ModelConfig) -> dict:
 
 
 def _granite_moe_block(sd: dict, cfg: ModelConfig, i: int) -> dict:
-    if True:
-        p = f"model.layers.{i}"
-        blk = {
-            "ln1": _norm(sd, f"{p}.input_layernorm"),
-            "attn": {
-                "q": _lin_t(sd, f"{p}.self_attn.q_proj.weight"),
-                "k": _lin_t(sd, f"{p}.self_attn.k_proj.weight"),
-                "v": _lin_t(sd, f"{p}.self_attn.v_proj.weight"),
-                "o": _lin_t(sd, f"{p}.self_attn.o_proj.weight"),
-            },
-            "ln2": _norm(sd, f"{p}.post_attention_layernorm"),
-            "moe": {
-                "router": _lin_t(sd, f"{p}.block_sparse_moe.router.layer.weight"),
-                "gate_up": np.ascontiguousarray(
-                    sd[f"{p}.block_sparse_moe.input_linear.weight"].transpose(0, 2, 1)
-                ),
-                "down": np.ascontiguousarray(
-                    sd[f"{p}.block_sparse_moe.output_linear.weight"].transpose(0, 2, 1)
-                ),
-            },
-        }
-        return blk
+    p = f"model.layers.{i}"
+    blk = {
+        "ln1": _norm(sd, f"{p}.input_layernorm"),
+        "attn": {
+            "q": _lin_t(sd, f"{p}.self_attn.q_proj.weight"),
+            "k": _lin_t(sd, f"{p}.self_attn.k_proj.weight"),
+            "v": _lin_t(sd, f"{p}.self_attn.v_proj.weight"),
+            "o": _lin_t(sd, f"{p}.self_attn.o_proj.weight"),
+        },
+        "ln2": _norm(sd, f"{p}.post_attention_layernorm"),
+        "moe": {
+            "router": _lin_t(sd, f"{p}.block_sparse_moe.router.layer.weight"),
+            "gate_up": np.ascontiguousarray(
+                sd[f"{p}.block_sparse_moe.input_linear.weight"].transpose(0, 2, 1)
+            ),
+            "down": np.ascontiguousarray(
+                sd[f"{p}.block_sparse_moe.output_linear.weight"].transpose(0, 2, 1)
+            ),
+        },
+    }
+    return blk
 
 
 def _granite_hybrid_prelude(sd: dict, cfg: ModelConfig) -> dict:
@@ -282,54 +278,53 @@ def _granite_hybrid_prelude(sd: dict, cfg: ModelConfig) -> dict:
 
 
 def _granite_hybrid_block(sd: dict, cfg: ModelConfig, i: int) -> dict:
-    if True:
-        p = f"model.layers.{i}"
-        blk: dict = {
-            "ln1": _norm(sd, f"{p}.input_layernorm"),
-            "ln2": _norm(sd, f"{p}.post_attention_layernorm"),
+    p = f"model.layers.{i}"
+    blk: dict = {
+        "ln1": _norm(sd, f"{p}.input_layernorm"),
+        "ln2": _norm(sd, f"{p}.post_attention_layernorm"),
+    }
+    if cfg.layer_kind(i) == LayerKind.MAMBA2:
+        conv_w = sd[f"{p}.mamba.conv1d.weight"]  # [conv_dim, 1, K]
+        blk["mamba"] = {
+            "in_proj": _lin_t(sd, f"{p}.mamba.in_proj.weight"),
+            "conv_w": np.ascontiguousarray(conv_w[:, 0, :].T),  # [K, conv_dim]
+            "conv_b": sd.get(
+                f"{p}.mamba.conv1d.bias",
+                np.zeros((conv_w.shape[0],), np.float32),
+            ),
+            "A_log": sd[f"{p}.mamba.A_log"],
+            "D": sd[f"{p}.mamba.D"],
+            "dt_bias": sd[f"{p}.mamba.dt_bias"],
+            "norm_scale": sd[f"{p}.mamba.norm.weight"],
+            "out_proj": _lin_t(sd, f"{p}.mamba.out_proj.weight"),
         }
-        if cfg.layer_kind(i) == LayerKind.MAMBA2:
-            conv_w = sd[f"{p}.mamba.conv1d.weight"]  # [conv_dim, 1, K]
-            blk["mamba"] = {
-                "in_proj": _lin_t(sd, f"{p}.mamba.in_proj.weight"),
-                "conv_w": np.ascontiguousarray(conv_w[:, 0, :].T),  # [K, conv_dim]
-                "conv_b": sd.get(
-                    f"{p}.mamba.conv1d.bias",
-                    np.zeros((conv_w.shape[0],), np.float32),
-                ),
-                "A_log": sd[f"{p}.mamba.A_log"],
-                "D": sd[f"{p}.mamba.D"],
-                "dt_bias": sd[f"{p}.mamba.dt_bias"],
-                "norm_scale": sd[f"{p}.mamba.norm.weight"],
-                "out_proj": _lin_t(sd, f"{p}.mamba.out_proj.weight"),
-            }
-        else:
-            blk["attn"] = {
-                "q": _lin_t(sd, f"{p}.self_attn.q_proj.weight"),
-                "k": _lin_t(sd, f"{p}.self_attn.k_proj.weight"),
-                "v": _lin_t(sd, f"{p}.self_attn.v_proj.weight"),
-                "o": _lin_t(sd, f"{p}.self_attn.o_proj.weight"),
-            }
-        if cfg.num_experts and f"{p}.block_sparse_moe.router.layer.weight" in sd:
-            blk["moe"] = {
-                "router": _lin_t(sd, f"{p}.block_sparse_moe.router.layer.weight"),
-                "gate_up": np.ascontiguousarray(
-                    sd[f"{p}.block_sparse_moe.input_linear.weight"].transpose(0, 2, 1)
-                ),
-                "down": np.ascontiguousarray(
-                    sd[f"{p}.block_sparse_moe.output_linear.weight"].transpose(0, 2, 1)
-                ),
-            }
-            blk["moe"]["shared"] = {
-                "up": _lin_t(sd, f"{p}.shared_mlp.input_linear.weight"),
-                "down": _lin_t(sd, f"{p}.shared_mlp.output_linear.weight"),
-            }
-        else:
-            blk["mlp"] = {
-                "up": _lin_t(sd, f"{p}.shared_mlp.input_linear.weight"),
-                "down": _lin_t(sd, f"{p}.shared_mlp.output_linear.weight"),
-            }
-        return blk
+    else:
+        blk["attn"] = {
+            "q": _lin_t(sd, f"{p}.self_attn.q_proj.weight"),
+            "k": _lin_t(sd, f"{p}.self_attn.k_proj.weight"),
+            "v": _lin_t(sd, f"{p}.self_attn.v_proj.weight"),
+            "o": _lin_t(sd, f"{p}.self_attn.o_proj.weight"),
+        }
+    if cfg.num_experts and f"{p}.block_sparse_moe.router.layer.weight" in sd:
+        blk["moe"] = {
+            "router": _lin_t(sd, f"{p}.block_sparse_moe.router.layer.weight"),
+            "gate_up": np.ascontiguousarray(
+                sd[f"{p}.block_sparse_moe.input_linear.weight"].transpose(0, 2, 1)
+            ),
+            "down": np.ascontiguousarray(
+                sd[f"{p}.block_sparse_moe.output_linear.weight"].transpose(0, 2, 1)
+            ),
+        }
+        blk["moe"]["shared"] = {
+            "up": _lin_t(sd, f"{p}.shared_mlp.input_linear.weight"),
+            "down": _lin_t(sd, f"{p}.shared_mlp.output_linear.weight"),
+        }
+    else:
+        blk["mlp"] = {
+            "up": _lin_t(sd, f"{p}.shared_mlp.input_linear.weight"),
+            "down": _lin_t(sd, f"{p}.shared_mlp.output_linear.weight"),
+        }
+    return blk
 
 
 # (prelude, per-block) converter pairs: the split lets the sharded loader

@@ -99,12 +99,15 @@ def granite_moe_1b_config() -> ModelConfig:
         norm_type=NormType.RMSNORM, position_type=PositionType.ROPE,
         activation=ActivationType.SWIGLU,
         num_experts=32, num_experts_per_tok=8, moe_intermediate_size=512,
-        # Capacity dispatch for large prefills only (measured crossover
-        # T~1024 on v5e, tools/ubench_moe.py; factor 1.25 keeps the drop
-        # rate low while staying 23% faster than dense at T=1024 and 25%
-        # at T=4096). Decode/small prefill compile to the exact dense path
-        # via moe_dispatch_min_tokens.
-        moe_capacity_factor=1.25,
+        # Capacity dispatch stays OPT-IN (factor 0.0 = exact dense combine,
+        # matching the reference's exact MoE). The measured crossover
+        # (T~1024, tools/ubench_moe.py) makes dispatch ~23-25% faster at
+        # large prefills, but real checkpoints routinely route >1.25x the
+        # mean load to hot experts and the drop rate has never been measured
+        # on non-uniform routing — serving defaults must be lossless. To opt
+        # in: set moe_capacity_factor>=1.0 (survivor-renormalized combine,
+        # ops/moe.py) and check tools/ubench_moe.py's drop-rate column.
+        moe_capacity_factor=0.0,
         embedding_multiplier=12.0, residual_multiplier=0.22,
         attention_multiplier=0.015625, logits_scaling=6.0,
         rope_theta=10000.0, model_type="granitemoe", eos_token_id=0,

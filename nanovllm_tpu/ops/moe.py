@@ -76,7 +76,11 @@ def moe_forward_dispatch(
     the GLU once per expert row, gather results back per (token, k) slot.
     Compute scales with T*k*factor instead of T*X — the EP-scalable path
     (SURVEY §7 hard-part #4). Tokens past an expert's capacity lose that
-    expert's contribution (their top_w stays renormalized over all k).
+    expert's contribution; when the router renormalizes, the surviving
+    experts' combine weights are renormalized over the survivors so the
+    output stays a convex combination (drop degrades gracefully instead of
+    shrinking the residual). Measure the drop rate with
+    `moe_dispatch_drop_stats` before enabling in serving.
     `valid_mask` [T] excludes padding rows (prefill tail padding / inactive
     decode lanes) from the dispatch so they never consume capacity slots."""
     T, Eh = x.shape
@@ -89,13 +93,19 @@ def moe_forward_dispatch(
         # row is all zeros (no capacity consumed) and their dispatch slot is
         # the OOB sentinel, so the gather-back yields exactly zero for them.
         e_flat = jnp.where(jnp.repeat(valid_mask, k), e_flat, X)
-    w_flat = top_w.reshape(-1)
     tok_flat = jnp.repeat(jnp.arange(T, dtype=jnp.int32), k)
     onehot = jax.nn.one_hot(e_flat, X, dtype=jnp.int32)      # [T*k, X]
     # Exclusive running count of prior assignments to the same expert =
     # this assignment's position within the expert's capacity window.
     pos_in_e = jnp.sum((jnp.cumsum(onehot, axis=0) - onehot) * onehot, axis=1)
     keep = pos_in_e < C
+    if cfg.moe_router_renormalize:
+        # Renormalize combine weights over the SURVIVING experts (fully
+        # dropped tokens stay zero — the residual path carries them).
+        w_kept = top_w * keep.reshape(T, k)
+        denom = jnp.sum(w_kept, axis=-1, keepdims=True)
+        top_w = jnp.where(denom > 0.0, w_kept / jnp.maximum(denom, 1e-9), 0.0)
+    w_flat = top_w.reshape(-1)
     slot = jnp.where(keep, e_flat * C + pos_in_e, X * C)     # OOB sentinel
 
     dispatch = (
@@ -109,6 +119,32 @@ def moe_forward_dispatch(
     y_tk = y_pad[jnp.minimum(slot, X * C)]                   # [T*k, Eh]; dropped -> 0
     out = jnp.sum((y_tk * w_flat[:, None]).reshape(T, k, Eh), axis=1)
     return out.astype(x.dtype)
+
+
+def moe_dispatch_drop_stats(
+    cfg: ModelConfig, p: dict, x: jnp.ndarray, capacity: int,
+) -> dict:
+    """Diagnostic: how lossy would capacity-bounded dispatch be on THIS
+    input? Returns dropped/total (token, expert) assignments and the routing
+    probability mass lost to drops. Run this (tools/ubench_moe.py prints it)
+    on real-checkpoint activations before enabling moe_capacity_factor in
+    serving — random-weight routing is near-uniform and hides hot experts."""
+    T = x.shape[0]
+    X, k, C = cfg.num_experts, cfg.num_experts_per_tok, capacity
+    top_w, top_i = _route(cfg, p, x)
+    e_flat = top_i.reshape(-1)
+    onehot = jax.nn.one_hot(e_flat, X, dtype=jnp.int32)
+    pos_in_e = jnp.sum((jnp.cumsum(onehot, axis=0) - onehot) * onehot, axis=1)
+    keep = pos_in_e < C
+    dropped = jnp.sum(~keep)
+    lost_mass = jnp.sum(top_w.reshape(-1) * (~keep))
+    return {
+        "dropped_assignments": int(dropped),
+        "total_assignments": T * k,
+        "drop_rate": float(dropped) / (T * k),
+        "lost_weight_mass": float(lost_mass) / T,
+        "capacity": C,
+    }
 
 
 def moe_forward(

@@ -166,9 +166,10 @@ def test_dispatch_threshold_rides_dense_below_min_tokens():
     out = moe_ops.moe_forward(cfg, p, x_small)
     np.testing.assert_allclose(np.asarray(out), np.asarray(dense), rtol=1e-5, atol=1e-5)
 
-    # T=8 >= threshold: same rows now go through dispatch; capacity
-    # ceil(8*1/4*1.0)=2 -> 8-pad to 8... capacity floors at 8, so force the
-    # drop with more identical rows than capacity.
+    # Capacity is sublane-padded to a minimum of 8 (ops/moe.py), so T=8
+    # cannot demonstrate a drop. Use 16 identical rows instead: capacity
+    # ceil(16*1/4 * 1.0) = 4, padded to 8, which is < 16 assignments to the
+    # one expert every identical row routes to — the tail must drop.
     x_big = jnp.asarray(np.repeat(row, 16, axis=0))
     cfg16 = dataclasses.replace(cfg, moe_dispatch_min_tokens=16)
     out_big = moe_ops.moe_forward(cfg16, p, x_big)
@@ -176,3 +177,45 @@ def test_dispatch_threshold_rides_dense_below_min_tokens():
     # capacity = ceil(16/4)=4 -> padded to 8 < 16 identical rows: tail dropped.
     assert np.abs(np.asarray(out_big)[-1]).max() == 0.0
     np.testing.assert_allclose(np.asarray(out_big)[0], np.asarray(dense_big)[0], rtol=1e-5, atol=1e-5)
+
+
+def test_skewed_routing_renormalizes_over_survivors():
+    """ADVICE r3 (high): with realistic routing SKEW (a hot expert past
+    capacity), survivor renormalization must keep each token's output a
+    convex combination of its SURVIVING experts — not a shrunken residual.
+    Routing is crafted so a hot expert (0) overflows: type-A tokens route
+    to (0,1), type-B tokens to (0,2); capacity lets type-A claim all of
+    expert 0, so every type-B token drops it and must come out as expert
+    2's FULL output (renormalized weight 1.0)."""
+    cfg = make_cfg(num_experts=4, num_experts_per_tok=2)
+    rng = np.random.default_rng(7)
+    p = moe_ops.init_moe_params(cfg, rng)
+    # Deterministic router: logit j = x[j] for j<3.
+    w_router = np.zeros((cfg.hidden_size, cfg.num_experts), np.float32)
+    w_router[0, 0] = w_router[1, 1] = w_router[2, 2] = 1.0
+    p["router"]["w"] = w_router
+    p = {k: jnp.asarray(v) if not isinstance(v, dict) else {kk: jnp.asarray(vv) for kk, vv in v.items()} for k, v in p.items()}
+
+    base = rng.standard_normal((32, cfg.hidden_size)).astype(np.float32) * 0.1
+    xa, xb = base[:16].copy(), base[16:].copy()
+    xa[:, 0], xa[:, 1], xa[:, 2] = 10.0, 9.0, 0.0   # top-2 = (0, 1)
+    xb[:, 0], xb[:, 1], xb[:, 2] = 10.0, 0.0, 9.0   # top-2 = (0, 2)
+    x = jnp.asarray(np.concatenate([xa, xb], axis=0))
+
+    # Expert 0 gets 32 assignments; capacity 16 keeps type-A's, drops type-B's.
+    stats = moe_ops.moe_dispatch_drop_stats(cfg, p, x, capacity=16)
+    assert stats["dropped_assignments"] == 16, stats
+    assert stats["lost_weight_mass"] > 0.0
+
+    out = moe_ops.moe_forward_dispatch(cfg, p, x, capacity=16)
+    # Type-B tokens' expected output: expert 2's GLU at full weight.
+    gu = np.asarray(p["gate_up"])[2]
+    dn = np.asarray(p["down"])[2]
+    h = xb @ gu
+    gate, up = h[:, : cfg.moe_intermediate_size], h[:, cfg.moe_intermediate_size :]
+    silu = gate / (1.0 + np.exp(-gate))
+    expected_b = (silu * up) @ dn
+    np.testing.assert_allclose(np.asarray(out)[16:], expected_b, rtol=1e-4, atol=1e-4)
+    # Type-A tokens are undropped: must equal the exact dense path.
+    dense = moe_ops.moe_forward(cfg, p, x)
+    np.testing.assert_allclose(np.asarray(out)[:16], np.asarray(dense)[:16], rtol=1e-4, atol=1e-4)

@@ -277,3 +277,33 @@ def test_consecutive_failures_reraise():
     with pytest.raises(RuntimeError, match="injected"):
         while not eng.is_finished():
             eng.step()
+
+
+def test_request_output_ttft_populated():
+    """Serving benches (bench_serving.py) compute exact p50/p99 TTFT from
+    per-request RequestOutput.ttft_s: every normally-finished request must
+    carry a positive arrival->first-token latency."""
+    eng = make_engine()
+    outs = eng.generate(
+        [f"prompt {i}" for i in range(4)], SamplingParams(max_tokens=8)
+    )
+    assert len(outs) == 4
+    for o in outs:
+        assert o.ttft_s is not None and o.ttft_s > 0.0
+        assert o.ttft_s < 60.0  # sanity: seconds, not a timestamp
+
+
+def test_ttft_with_staggered_arrivals():
+    """Requests added while earlier ones are mid-decode must still get a
+    TTFT stamped at their own prefill, measured from their own arrival."""
+    eng = make_engine()
+    eng.add_request("early request", SamplingParams(max_tokens=30))
+    # A few decode steps before the second arrival.
+    for _ in range(3):
+        eng.step()
+    eng.add_request("late arrival", SamplingParams(max_tokens=5))
+    outs = []
+    while not eng.is_finished():
+        outs.extend(eng.step())
+    assert len(outs) == 2
+    assert all(o.ttft_s is not None and o.ttft_s >= 0.0 for o in outs)

@@ -1,29 +1,28 @@
-"""Microbenchmark: INT4 weight-only matmul variants at Falcon-7B decode
-shapes, on the real chip. Decomposes the bench_falcon roofline gap
-(VERDICT r2: fraction 0.30, self-diagnosed VPU nibble-unpack cost) by
-timing each candidate kernel against the pure weight-stream floor.
+"""Microbenchmark: INT4 weight-only matmul at Falcon-7B decode shapes, on
+the real chip. Decomposes the bench_falcon roofline gap by timing the
+shipped kernel against the pure weight-stream floor.
 
 Variants:
   stream  weight-DMA floor: same grid/blocks, kernel body only touches 8 rows
-  cur     shipped quant_matmul (halves packing, depth-128 group dots, scale
-          on acc; uses the real QuantLinear.from_dense storage padding)
-  NOTE: the exploratory variants below (d128/fold/w4a8/hi3/u16*/cvt*) were
-  written against the RETIRED group-paired packing — their numerics are
-  stale under the halves packing; they remain for timing archaeology only.
-  d128    in-kernel concat to [g,128,bn] + batched depth-128 bf16 dots
-  fold    unpack -> bf16, per-group scale folded into the weight tile,
-          ONE full-depth dot per grid step (numerics == dequant fallback)
-  w4a8    weights unpacked to int8, activations quantized per (row, chunk)
-          to int8, int8 x int8 MXU dots with int32 accum, f32 rescale
+  cur     shipped quant_matmul (halves packing, mask+convert unpack, scale on
+          acc; uses the real QuantLinear.from_dense storage padding)
   int8    shipped INT8 kernel (2x bytes, no unpack) for reference
   bf16    plain XLA dot on bf16 weights (4x bytes)
+
+History: r2/r3 carried ~6 exploratory kernels (d128/fold/w4a8/hi3/u16*/cvt*)
+written against the RETIRED group-paired packing. Their findings are folded
+into the shipped kernel (mask+convert unpack — see ops/pallas/quant_matmul.py
+and docs/PERFORMANCE.md "Kernel facts") and the variants were deleted in r4:
+their numerics were stale under the halves packing, and a bench whose
+variants compute wrong answers invites false conclusions. New experiments
+must pack with quantize_int4 (halves packing) and verify numerics against
+quant_matmul before timing.
 
 Run: python tools/ubench_int4.py [--reps 8]
 """
 from __future__ import annotations
 
 import argparse
-import functools
 import os
 import sys
 import time
@@ -53,12 +52,6 @@ SHAPES = [
 BM = 32  # decode lanes
 
 
-def _unpack_planes(p32, dtype):
-    low = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(dtype)
-    high = jnp.right_shift(jnp.left_shift(p32, 24), 28).astype(dtype)
-    return low, high
-
-
 # --- stream floor ---------------------------------------------------------
 
 def _stream_kernel(x_ref, qw_ref, scale_ref, o_ref):
@@ -67,326 +60,6 @@ def _stream_kernel(x_ref, qw_ref, scale_ref, o_ref):
         + x_ref[0:1, 0:1]
         + scale_ref[0:1, :]
     ) * jnp.ones_like(o_ref)
-
-
-# --- d128: concat to depth-128 groups, batched bf16 dots ------------------
-
-def _d128_kernel(x_ref, qw_ref, scale_ref, o_ref, acc_ref, *, nk, gpb):
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    x = x_ref[:]
-    bm, BK = x.shape
-    bn = qw_ref.shape[1]
-    half = INT4_GROUP_SIZE // 2
-    g = BK // INT4_GROUP_SIZE
-    low, high = _unpack_planes(qw_ref[:].astype(jnp.int32), x.dtype)
-    w = jnp.concatenate(
-        [low.reshape(g, half, bn), high.reshape(g, half, bn)], axis=1
-    )  # [g, 128, bn]
-    xg = x.reshape(bm, g, INT4_GROUP_SIZE).transpose(1, 0, 2)  # [g, bm, 128]
-    yg = jax.lax.dot_general(
-        xg, w, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )  # [g, bm, bn]
-    sc = scale_ref[pl.ds(k * gpb, gpb), :].astype(jnp.float32)
-    acc_ref[:] += jnp.sum(yg * sc.reshape(g, 1, bn), axis=0)
-
-    @pl.when(k == nk - 1)
-    def _():
-        o_ref[:] = acc_ref[:]
-
-
-# --- fold: scale folded into bf16 weights, one full-depth dot -------------
-
-def _fold_kernel(x_ref, qw_ref, scale_ref, o_ref, acc_ref, *, nk, gpb):
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    x = x_ref[:]
-    bm, BK = x.shape
-    bn = qw_ref.shape[1]
-    half = INT4_GROUP_SIZE // 2
-    g = BK // INT4_GROUP_SIZE
-    low, high = _unpack_planes(qw_ref[:].astype(jnp.int32), jnp.float32)
-    sc = scale_ref[pl.ds(k * gpb, gpb), :].astype(jnp.float32)  # [g, bn]
-    scb = jnp.broadcast_to(sc.reshape(g, 1, bn), (g, half, bn))
-    wl = (low.reshape(g, half, bn) * scb).astype(x.dtype)
-    wh = (high.reshape(g, half, bn) * scb).astype(x.dtype)
-    w = jnp.concatenate([wl, wh], axis=1).reshape(BK, bn)
-    # un-permute: group-paired rows (r low, r+64 high) are already in order
-    acc_ref[:] += jnp.dot(x, w, preferred_element_type=jnp.float32)
-
-    @pl.when(k == nk - 1)
-    def _():
-        o_ref[:] = acc_ref[:]
-
-
-# --- hi3: current group-dot but high nibble via ONE arithmetic shift -------
-# (p sign-extended from int8 => asr 4 is sign-correct for the high nibble)
-
-def _hi3_kernel(x_ref, qw_ref, scale_ref, o_ref, acc_ref, *, nk, gpb):
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    x = x_ref[:]
-    bm, BK = x.shape
-    bn = qw_ref.shape[1]
-    half = INT4_GROUP_SIZE // 2
-    g = BK // INT4_GROUP_SIZE
-    p32 = qw_ref[:].astype(jnp.int32)
-    low = jnp.right_shift(jnp.left_shift(p32, 28), 28).astype(x.dtype)
-    high = jnp.right_shift(p32, 4).astype(x.dtype)  # 1 shift, sign-correct
-    sc = scale_ref[pl.ds(k * gpb, gpb), :].astype(jnp.float32)
-    for gi in range(g):
-        lo = gi * INT4_GROUP_SIZE
-        part = (
-            jnp.dot(x[:, lo:lo + half], low[gi * half:(gi + 1) * half, :],
-                    preferred_element_type=jnp.float32)
-            + jnp.dot(x[:, lo + half:lo + INT4_GROUP_SIZE],
-                      high[gi * half:(gi + 1) * half, :],
-                      preferred_element_type=jnp.float32)
-        ) * sc[gi:gi + 1, :]
-        acc_ref[:] += part
-
-    @pl.when(k == nk - 1)
-    def _():
-        o_ref[:] = acc_ref[:]
-
-
-# --- u16 family: offset-binary nibbles -> bf16 via magic bitcast -----------
-# Nibble n in [-8,7] is stored as n+8 in [0,15] (repack = byte ^ 0x88).
-# bf16(128+m) for m in [0,15] is exactly 0x4300 | m, so
-#   bitcast(0x4300 | nibble, bf16) - 136.0  ==  n   (exact bf16 arithmetic).
-# All bit ops run at int16 density (2x int32) and there is no int->float
-# convert at all — just and/or/shift/bitcast plus one exact bf16 subtract.
-
-MAGIC = 0x4300
-MAGIC_F = 136.0  # 128 + 8
-
-
-def _unpack_u16(p16, dtype):
-    lo = jax.lax.bitcast_convert_type(
-        jnp.bitwise_or(jnp.bitwise_and(p16, 0xF), MAGIC).astype(jnp.int16),
-        jnp.bfloat16,
-    ) - jnp.bfloat16(MAGIC_F)
-    hi = jax.lax.bitcast_convert_type(
-        jnp.bitwise_or(
-            jnp.bitwise_and(jnp.right_shift(p16, 4), 0xF), MAGIC
-        ).astype(jnp.int16),
-        jnp.bfloat16,
-    ) - jnp.bfloat16(MAGIC_F)
-    return lo.astype(dtype), hi.astype(dtype)
-
-
-def _u16_kernel(x_ref, qw_ref, scale_ref, o_ref, acc_ref, *, nk, gpb):
-    """Full-tile u16 unpack, then the group-paired dots (like `cur`)."""
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    x = x_ref[:]
-    bm, BK = x.shape
-    bn = qw_ref.shape[1]
-    half = INT4_GROUP_SIZE // 2
-    g = BK // INT4_GROUP_SIZE
-    p16 = qw_ref[:].astype(jnp.int16)
-    low, high = _unpack_u16(p16, x.dtype)
-    sc = scale_ref[pl.ds(k * gpb, gpb), :].astype(jnp.float32)
-    for gi in range(g):
-        lo = gi * INT4_GROUP_SIZE
-        part = (
-            jnp.dot(x[:, lo:lo + half], low[gi * half:(gi + 1) * half, :],
-                    preferred_element_type=jnp.float32)
-            + jnp.dot(x[:, lo + half:lo + INT4_GROUP_SIZE],
-                      high[gi * half:(gi + 1) * half, :],
-                      preferred_element_type=jnp.float32)
-        ) * sc[gi:gi + 1, :]
-        acc_ref[:] += part
-
-    @pl.when(k == nk - 1)
-    def _():
-        o_ref[:] = acc_ref[:]
-
-
-def _u16l_kernel(x_ref, qw_ref, scale_ref, o_ref, acc_ref, *, nk, gpb):
-    """Per-group in-loop u16 unpack: temps are [64, bn] so VMEM stays ~(x +
-    2*wq + out) — enables big weight-stationary tiles (large bn / BK)."""
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    x = x_ref[:]
-    bm, BK = x.shape
-    half = INT4_GROUP_SIZE // 2
-    g = BK // INT4_GROUP_SIZE
-    sc = scale_ref[pl.ds(k * gpb, gpb), :].astype(jnp.float32)
-    for gi in range(g):
-        p16 = qw_ref[pl.ds(gi * half, half), :].astype(jnp.int16)
-        low, high = _unpack_u16(p16, x.dtype)
-        lo = gi * INT4_GROUP_SIZE
-        part = (
-            jnp.dot(x[:, lo:lo + half], low, preferred_element_type=jnp.float32)
-            + jnp.dot(x[:, lo + half:lo + INT4_GROUP_SIZE], high,
-                      preferred_element_type=jnp.float32)
-        ) * sc[gi:gi + 1, :]
-        acc_ref[:] += part
-
-    @pl.when(k == nk - 1)
-    def _():
-        o_ref[:] = acc_ref[:]
-
-
-def repack_offset_binary(packed: np.ndarray) -> np.ndarray:
-    """Mixed packing (quantize_int4: high signed, low offset-binary) ->
-    full offset-binary (both nibbles + 8) for the u16 variants."""
-    return (np.asarray(packed).view(np.uint8) ^ 0x80).view(np.int8)
-
-
-# --- cvt family: pure-int8 mask + direct int8->bf16 convert ----------------
-# Mosaic legalizes bitwise AND on int8 and int8->bf16 converts (probed on
-# v5e; only SHIFTS are illegal below int32). With the low nibble stored
-# offset-binary (n+8) and the high nibble stored signed, the unpack is
-#   lo = (v & 0x0F).astype(bf16) - 8        (exact: [0,15] -> [-8,7])
-#   hi = (v & 0xF0).astype(bf16) * 0.0625   (sign rides the byte sign; the
-#                                            masked value IS 16*hi_signed)
-# — ~1.5 int32-equivalent VPU ops per packed byte (vs 7 for the int32-shift
-# unpack): no widening, no shifts, no bitcasts.
-
-def repack_mixed(packed: np.ndarray) -> np.ndarray:
-    """quantize_int4 now emits the mixed packing natively (identity)."""
-    return np.asarray(packed)
-
-
-def _unpack_cvt(p8, dtype):
-    lo = jnp.bitwise_and(p8, jnp.int8(0x0F)).astype(dtype) - jnp.asarray(8.0, dtype)
-    hi = jnp.bitwise_and(p8, jnp.int8(-16)).astype(dtype) * jnp.asarray(0.0625, dtype)
-    return lo, hi
-
-
-def _cvt_kernel(x_ref, qw_ref, scale_ref, o_ref, acc_ref, *, nk, gpb):
-    """Full-tile cvt unpack, then the group-paired dots (like `cur`)."""
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    x = x_ref[:]
-    bm, BK = x.shape
-    half = INT4_GROUP_SIZE // 2
-    g = BK // INT4_GROUP_SIZE
-    low, high = _unpack_cvt(qw_ref[:], x.dtype)
-    sc = scale_ref[pl.ds(k * gpb, gpb), :].astype(jnp.float32)
-    for gi in range(g):
-        lo = gi * INT4_GROUP_SIZE
-        part = (
-            jnp.dot(x[:, lo:lo + half], low[gi * half:(gi + 1) * half, :],
-                    preferred_element_type=jnp.float32)
-            + jnp.dot(x[:, lo + half:lo + INT4_GROUP_SIZE],
-                      high[gi * half:(gi + 1) * half, :],
-                      preferred_element_type=jnp.float32)
-        ) * sc[gi:gi + 1, :]
-        acc_ref[:] += part
-
-    @pl.when(k == nk - 1)
-    def _():
-        o_ref[:] = acc_ref[:]
-
-
-def _cvtl_kernel(x_ref, qw_ref, scale_ref, o_ref, acc_ref, *, nk, gpb):
-    """Per-group in-loop cvt unpack (tiny VMEM temps -> big tiles)."""
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    x = x_ref[:]
-    bm, BK = x.shape
-    half = INT4_GROUP_SIZE // 2
-    g = BK // INT4_GROUP_SIZE
-    sc = scale_ref[pl.ds(k * gpb, gpb), :].astype(jnp.float32)
-    for gi in range(g):
-        low, high = _unpack_cvt(qw_ref[pl.ds(gi * half, half), :], x.dtype)
-        lo = gi * INT4_GROUP_SIZE
-        part = (
-            jnp.dot(x[:, lo:lo + half], low, preferred_element_type=jnp.float32)
-            + jnp.dot(x[:, lo + half:lo + INT4_GROUP_SIZE], high,
-                      preferred_element_type=jnp.float32)
-        ) * sc[gi:gi + 1, :]
-        acc_ref[:] += part
-
-    @pl.when(k == nk - 1)
-    def _():
-        o_ref[:] = acc_ref[:]
-
-
-# --- w4a8: int8 MXU dots --------------------------------------------------
-
-def _w4a8_kernel(x_ref, qw_ref, scale_ref, o_ref, acc_ref, *, nk, gpb):
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
-    x = x_ref[:].astype(jnp.float32)
-    bm, BK = x.shape
-    bn = qw_ref.shape[1]
-    half = INT4_GROUP_SIZE // 2
-    g = BK // INT4_GROUP_SIZE
-    # per-(row, chunk) activation scale
-    xs = jnp.max(jnp.abs(x), axis=1, keepdims=True) / 127.0  # [bm, 1]
-    xq = jnp.round(x / xs).astype(jnp.int8)
-    low, high = _unpack_planes(qw_ref[:].astype(jnp.int32), jnp.int8)
-    w = jnp.concatenate(
-        [low.reshape(g, half, bn), high.reshape(g, half, bn)], axis=1
-    )  # [g, 128, bn] int8
-    xg = xq.reshape(bm, g, INT4_GROUP_SIZE).transpose(1, 0, 2)  # [g, bm, 128]
-    yg = jax.lax.dot_general(
-        xg, w, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.int32
-    )  # [g, bm, bn] int32
-    sc = scale_ref[pl.ds(k * gpb, gpb), :].astype(jnp.float32)  # [g, bn]
-    acc_ref[:] += jnp.sum(yg.astype(jnp.float32) * sc.reshape(g, 1, bn), axis=0) * xs
-
-    @pl.when(k == nk - 1)
-    def _():
-        o_ref[:] = acc_ref[:]
-
-
-def _call_variant(kernel, x, qw, scale, K, N, bn, BK):
-    bm = x.shape[0]
-    nk = K // BK
-    gpb = BK // INT4_GROUP_SIZE
-    g = scale.shape[0]
-    return pl.pallas_call(
-        functools.partial(kernel, nk=nk, gpb=gpb),
-        grid=(x.shape[0] // bm, N // bn, nk),
-        in_specs=[
-            pl.BlockSpec((bm, BK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
-            pl.BlockSpec((BK // 2, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gpb, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((x.shape[0], N), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-    )(x, qw, scale)
 
 
 def _call_stream(x, qw, scale, K, N, bn, BK):
@@ -452,13 +125,15 @@ def main():
     ap.add_argument("--shapes", default="")
     ap.add_argument(
         "--variants",
-        default="stream,cur,hi3,u16,u16l",
-        help="comma list from stream,cur,d128,fold,w4a8,hi3,u16,u16l,int8,bf16",
+        default="stream,cur",
+        help="comma list from stream,cur,int8,bf16",
     )
     ap.add_argument("--bk", type=int, default=0, help="override k-chunk")
     ap.add_argument("--bn", type=int, default=0, help="override n-tile")
+    ap.add_argument("--bm", type=int, default=BM, help="decode lanes")
     args = ap.parse_args()
     want = set(args.variants.split(","))
+    bm = args.bm
     print(f"backend={jax.default_backend()}", file=sys.stderr)
     rng = np.random.default_rng(0)
 
@@ -470,23 +145,18 @@ def main():
         w = (rng.standard_normal((K, N)) * 0.02).astype(np.float32)
         packed, scales = quantize_int4(w)
         q8, s8 = quantize_int8(w)
-        x = jnp.asarray(rng.standard_normal((BM, K)) * 0.1, jnp.bfloat16)
+        x = jnp.asarray(rng.standard_normal((bm, K)) * 0.1, jnp.bfloat16)
         qwd = jnp.asarray(packed)
         scd = jnp.asarray(scales)
-        p4 = QuantLinear(qwd, scd, None, "int4", K, N)
-        p8 = QuantLinear(jnp.asarray(q8), jnp.asarray(s8), None, "int8", K, N)
         wbf = jnp.asarray(w, jnp.bfloat16)
 
         i4bytes = K * N // 2 + (K // INT4_GROUP_SIZE) * N * 4
         floor_ms = i4bytes / (HBM_GBPS * 1e9) * 1e3
 
         BK = args.bk or (2048 if K > 8192 else K)
-        # bn chosen to fit VMEM for the fattest variant (fold: f32 temps)
         bn = args.bn or (128 if BK >= 2048 else 256)
 
         shape_reps = args.reps or reps_for(floor_ms)
-        qob = jnp.asarray(repack_offset_binary(packed))
-        qmx = jnp.asarray(repack_mixed(packed))
 
         results = {}
         if "stream" in want:
@@ -502,26 +172,6 @@ def main():
             results["cur"] = bench(
                 lambda x_, p4d=p4d: quant_matmul(x_, p4d), (x,), shape_reps, "cur",
             )
-        for tag, kern, qarg in (
-            ("d128", _d128_kernel, qwd),
-            ("fold", _fold_kernel, qwd),
-            ("w4a8", _w4a8_kernel, qwd),
-            ("hi3", _hi3_kernel, qwd),
-            ("u16", _u16_kernel, qob),
-            ("u16l", _u16l_kernel, qob),
-            ("cvt", _cvt_kernel, qmx),
-            ("cvtl", _cvtl_kernel, qmx),
-        ):
-            if tag not in want:
-                continue
-            try:
-                results[tag] = bench(
-                    lambda x_, qw_, sc_, kern=kern: _call_variant(kern, x_, qw_, sc_, K, N, bn, BK),
-                    (x, qarg, scd), shape_reps, tag,
-                )
-            except Exception as e:  # noqa: BLE001
-                print(f"{name}/{tag} FAILED: {type(e).__name__}: {str(e)[:200]}", file=sys.stderr)
-                results[tag] = float("nan")
         if "int8" in want:
             results["int8"] = bench(
                 lambda x_, qw_, sc_: quant_matmul(x_, QuantLinear(qw_, sc_, None, "int8", K, N)),
@@ -549,7 +199,7 @@ def main():
         layer_floor = sum(r["floor_ms"] * (32 if not r["shape"].startswith("lm_head") else 1) for r in rows)
         print(f"\nmodeled step (32 layers + lm_head): floor={layer_floor:.2f}ms")
         for tag, tot in totals.items():
-            print(f"  {tag:7s} {tot:7.2f}ms  fraction={layer_floor/tot:.3f}  tok/s@{BM}={BM/tot*1e3:,.0f}")
+            print(f"  {tag:7s} {tot:7.2f}ms  fraction={layer_floor/tot:.3f}  tok/s@{bm}={bm/tot*1e3:,.0f}")
 
 
 if __name__ == "__main__":

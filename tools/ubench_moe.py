@@ -53,13 +53,25 @@ def main():
             lambda x_, pp: moe_ops.moe_forward(cfg, pp, x_), (x, p), reps, "dense"
         )
         for f in (1.0, 1.25, 2.0):
-            cfg_f = dataclasses.replace(cfg, moe_capacity_factor=f)
+            # min_tokens=1 so every T row actually exercises the dispatch
+            # program this tool claims to time (the default 1024 gate would
+            # silently run dense for small T and fake identical timings).
+            cfg_f = dataclasses.replace(
+                cfg, moe_capacity_factor=f, moe_dispatch_min_tokens=1
+            )
             res[f"disp{f}"] = bench(
                 lambda x_, pp, cfg_f=cfg_f: moe_ops.moe_forward(cfg_f, pp, x_),
                 (x, p), reps, f"disp{f}",
             )
+        import math
+
+        C = math.ceil(T * cfg.num_experts_per_tok / cfg.num_experts * 1.25)
+        C = min(max(8 * math.ceil(C / 8), 8), T)
+        stats = moe_ops.moe_dispatch_drop_stats(cfg, p, x, C)
         print(
-            f"T={T:5d} " + " ".join(f"{k}={v*1e6:9.1f}us" for k, v in res.items()),
+            f"T={T:5d} " + " ".join(f"{k}={v*1e6:9.1f}us" for k, v in res.items())
+            + f"  drop@f1.25={stats['drop_rate']:.3%} (random-weight routing"
+            " is near-uniform; measure on a real checkpoint before serving)",
             flush=True,
         )
 
