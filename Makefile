@@ -10,6 +10,14 @@ PY ?= python
 e2e:
 	bash scripts/e2e_real_ckpt.sh
 
+# One-command quality certification for a real checkpoint: HF logit parity +
+# dPPL acceptance gates (int8 <= 0.1, int4 <= 0.5) with pass/fail exit code.
+# Usage: make certify MODEL_DIR=/path/to/checkpoint
+# (Caveat: only ever exercised on random-weight tiny ckpts in this
+# environment — no checkpoint egress. See scripts/certify.sh.)
+certify:
+	MODEL_DIR=$(MODEL_DIR) bash scripts/certify.sh
+
 all: test
 
 test:

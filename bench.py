@@ -106,23 +106,31 @@ def main():
     rate = float(os.environ.get("NANOVLLM_BENCH_ARRIVAL_RATE", 0.4 * cap_req_s))
     arrivals = np.cumsum(rng.exponential(1.0 / rate, size=n_req))
     log(f"serving phase: {n_req} requests, Poisson rate {rate:.1f} req/s...")
-    ttfts: list[float] = []
-    t_start = time.perf_counter()
-    sent = 0
-    done = 0
-    while done < n_req:
-        now = time.perf_counter() - t_start
-        while sent < n_req and arrivals[sent] <= now:
-            eng.add_request(prompts[sent % B], sp)
-            sent += 1
-        if sent < n_req and eng.is_finished():
-            time.sleep(min(0.002, max(0.0, arrivals[sent] - now)))
-            continue
-        for out in eng.step():
-            done += 1
-            if out.ttft_s is not None:
-                ttfts.append(out.ttft_s)
-    wall = time.perf_counter() - t_start
+
+    def serving_pass():
+        ttfts: list[float] = []
+        t_start = time.perf_counter()
+        sent = 0
+        done = 0
+        while done < n_req:
+            now = time.perf_counter() - t_start
+            while sent < n_req and arrivals[sent] <= now:
+                eng.add_request(prompts[sent % B], sp)
+                sent += 1
+            if sent < n_req and eng.is_finished():
+                time.sleep(min(0.002, max(0.0, arrivals[sent] - now)))
+                continue
+            for out in eng.step():
+                done += 1
+                if out.ttft_s is not None:
+                    ttfts.append(out.ttft_s)
+        return ttfts, time.perf_counter() - t_start
+
+    # Staggered arrivals hit small prefill-group buckets (Nb=1,2,4,...) the
+    # closed-batch warmup never compiled; run the phase once untimed so the
+    # timed pass measures serving latency, not compiles.
+    serving_pass()
+    ttfts, wall = serving_pass()
     p50 = percentile(ttfts, 50) * 1e3
     p99 = percentile(ttfts, 99) * 1e3
     log(

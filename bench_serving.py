@@ -36,18 +36,23 @@ PROMPT_LENS = (64, 128, 256, 512)
 SHARED_PREFIX = 64
 
 
-def build_trace(rng, n_req, vocab):
-    """(prompt, max_tokens) per request; half share a 64-token prefix."""
-    prefix = rng.integers(1, vocab, size=SHARED_PREFIX).tolist()
+def build_trace(shape_rng, content_seed, n_req, vocab):
+    """(prompt, max_tokens) per request; half share a 64-token prefix.
+    Lengths/max_tokens come from `shape_rng` (same across passes, so every
+    pass hits identical compile buckets); token CONTENT comes from
+    `content_seed` (fresh per pass — otherwise the prefix cache would carry
+    whole prompts across passes and the timed pass would skip prefill)."""
+    content = np.random.default_rng(content_seed)
+    prefix = content.integers(1, vocab, size=SHARED_PREFIX).tolist()
     trace = []
     for i in range(n_req):
-        plen = int(rng.choice(PROMPT_LENS))
+        plen = int(shape_rng.choice(PROMPT_LENS))
         if i % 2 == 0 and plen > SHARED_PREFIX:
-            body = rng.integers(1, vocab, size=plen - SHARED_PREFIX).tolist()
+            body = content.integers(1, vocab, size=plen - SHARED_PREFIX).tolist()
             prompt = prefix + body
         else:
-            prompt = rng.integers(1, vocab, size=plen).tolist()
-        trace.append((prompt, int(rng.choice((32, 64, 128)))))
+            prompt = content.integers(1, vocab, size=plen).tolist()
+        trace.append((prompt, int(shape_rng.choice((32, 64, 128)))))
     return trace
 
 
@@ -106,29 +111,40 @@ def main():
     llm = LLM(model_config=cfg, engine_config=ecfg, params=params)
     eng = llm.engine
 
-    trace = build_trace(rng, N, cfg.vocab_size)
     sp_for = lambda mt: SamplingParams(temperature=0.0, max_tokens=mt, ignore_eos=True)  # noqa: E731
 
-    # Untimed pass: compile every (bucket, batch) shape on the same trace.
-    log("warmup pass (compiling all buckets)...")
+    # Untimed pass 1 (closed batch): compiles the large-group buckets and
+    # measures decode capacity for the default arrival rate.
+    log("warmup pass 1/2 (closed batch, compiling large buckets)...")
     t0 = time.time()
-    warm_arrivals = np.zeros(N)  # all-at-once is fine for compiling
-    run_trace(eng, trace, warm_arrivals, sp_for)
-    log(f"warmup done in {time.time()-t0:.1f}s")
+    trace1 = build_trace(np.random.default_rng(1), 100, N, cfg.vocab_size)
+    run_trace(eng, trace1, np.zeros(N), sp_for)
+    log(f"pass 1 done in {time.time()-t0:.1f}s")
 
-    # Estimate capacity from the warmup to set the default arrival rate.
     m = eng.metrics
     decode_tok_s_warm = m["decode_tokens"] / m["decode_time"] if m["decode_time"] else 5000.0
-    mean_decode = float(np.mean([mt for _, mt in trace]))
+    mean_decode = float(np.mean([mt for _, mt in trace1]))
     cap_req_s = decode_tok_s_warm / mean_decode
     rate = float(os.environ.get("SERVING_RATE", 0.4 * cap_req_s))
+    arrivals = np.cumsum(rng.exponential(1.0 / rate, size=N))
+
+    # Untimed pass 2 (staggered): trickled arrivals hit SMALL prefill-group
+    # buckets (Nb=1,2,4,...) pass 1 never compiled — compile them now so the
+    # timed pass measures serving latency, not compiles.
+    log("warmup pass 2/2 (staggered, compiling small buckets)...")
+    t0 = time.time()
+    run_trace(eng, build_trace(np.random.default_rng(1), 200, N, cfg.vocab_size),
+              arrivals, sp_for)
+    log(f"pass 2 done in {time.time()-t0:.1f}s")
 
     for k in eng.metrics:
         eng.metrics[k] = 0.0 if isinstance(eng.metrics[k], float) else 0
-    arrivals = np.cumsum(rng.exponential(1.0 / rate, size=N))
     log(f"timed pass: {N} requests, Poisson rate {rate:.1f} req/s "
         f"(~40% of {cap_req_s:.0f} req/s capacity)...")
-    ttfts, wall = run_trace(eng, trace, arrivals, sp_for)
+    ttfts, wall = run_trace(
+        eng, build_trace(np.random.default_rng(1), 300, N, cfg.vocab_size),
+        arrivals, sp_for,
+    )
 
     m = eng.metrics
     decode_tok_s = m["decode_tokens"] / m["decode_time"] if m["decode_time"] else 0.0

@@ -32,6 +32,15 @@ def main(argv=None):
     ap.add_argument("--kv-cache-dtype", default="none", choices=["none", "int8"])
     ap.add_argument("--tensor-parallel-size", type=int, default=1,
                     help="shard attention heads / FFN / experts over this many chips")
+    ap.add_argument("--context-parallel", action="store_true",
+                    help="ring-attention prefill for long FRESH prompts over "
+                         "the mesh ('data' axis when dp>1, else 'model'); "
+                         "prompts with a cached prefix fall back to dense "
+                         "prefill, hybrids excluded")
+    ap.add_argument("--prefill-chunk-tokens", type=int, default=0,
+                    help="admit long prompts in chunks of at most this many "
+                         "tokens per step (0 = whole-prompt); bounds "
+                         "concurrent requests' TTFT under long prompts")
     ap.add_argument("--raw", action="store_true", help="no chat template")
     args = ap.parse_args(argv)
     question = " ".join(args.question)
@@ -50,6 +59,8 @@ def main(argv=None):
         engine_config=EngineConfig(
             quantization=args.quantization, kv_cache_dtype=args.kv_cache_dtype,
             tensor_parallel_size=args.tensor_parallel_size,
+            prefill_chunk_tokens=args.prefill_chunk_tokens,
+            context_parallel=args.context_parallel,
         ),
     )
     mcfg = llm.model_config

@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument("--stride", type=int, default=512,
                     help="tokens scored per window (rest is context)")
     ap.add_argument("--quantization", nargs="*", default=[], choices=["int8", "int4"])
+    ap.add_argument("--gate", action="store_true",
+                    help="enforce the BASELINE dPPL acceptance gates "
+                         "(int8 <= 0.1, int4 <= 0.5) via the exit code")
+    ap.add_argument("--gate-int8", type=float, default=0.1)
+    ap.add_argument("--gate-int4", type=float, default=0.5)
     args = ap.parse_args(argv)
 
     from nanovllm_tpu.eval.ppl import strided_perplexity
@@ -61,9 +66,21 @@ def main(argv=None):
 
     base_ppl = run()
     print(f"ppl[bf16] = {base_ppl:.4f}")
+    gates = {"int8": args.gate_int8, "int4": args.gate_int4}
+    failed = []
     for q in args.quantization:
         ppl_q = run(q)
-        print(f"ppl[{q}] = {ppl_q:.4f}  dPPL = {ppl_q - base_ppl:+.4f}")
+        dppl = ppl_q - base_ppl
+        verdict = ""
+        if args.gate:
+            ok = dppl <= gates[q]
+            verdict = f"  gate(<= {gates[q]}): {'PASS' if ok else 'FAIL'}"
+            if not ok:
+                failed.append(q)
+        print(f"ppl[{q}] = {ppl_q:.4f}  dPPL = {dppl:+.4f}{verdict}")
+    if failed:
+        print(f"dPPL gate FAILED for: {', '.join(failed)}", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -282,14 +282,32 @@ class EngineConfig:
     tensor_parallel_size: int = 1
     data_parallel_size: int = 1
     # Context parallelism (sequence-parallel prefill): long fresh prompts are
-    # prefilled with the token dim sharded over the mesh 'data' axis and ring
+    # prefilled with the token dim sharded over a mesh axis and ring
     # attention (ops/ring_attention.py) rotating KV shards over ICI — peak
     # per-device score memory drops from O(T*S) to O((T/P)^2), so one prompt
-    # can exceed a single chip's attention budget. Applies when a mesh with
-    # data_parallel_size > 1 exists, the prompt has no cached prefix, the
-    # model is not hybrid, and the padded chunk is >= cp_min_tokens.
+    # can exceed a single chip's attention budget. The CP axis is 'data'
+    # when data_parallel_size > 1 (weights replicated over it — the clean
+    # case); on a tp-only mesh it falls back to 'model' (GSPMD adds
+    # per-layer weight/activation collectives — bandwidth for memory).
+    # GATES (runner._cp_applies): the prompt must be FRESH — a prefix-cache
+    # hit silently falls back to the dense prefill path (latency cliff on
+    # long shared-prefix prompts); hybrid (Mamba2) models are excluded
+    # (sequential state scan); the padded chunk must be >= cp_min_tokens and
+    # divisible by the CP axis size; chunked-prefill admissions are excluded
+    # (the in-flight chunk must BE the whole context).
     context_parallel: bool = False
     cp_min_tokens: int = 1024
+    # Chunked prefill (scheduler policy): admit long prompts in chunks of at
+    # most this many tokens per engine step instead of whole-prompt, so one
+    # near-max_model_len prompt neither compiles the largest prefill bucket
+    # nor monopolizes steps — short requests admit alongside each chunk and
+    # running decodes alternate with the chunk train. 0 = off (whole-prompt
+    # admission, the reference's behavior). Chunk boundaries are aligned down
+    # to kv_block_size (prefill resume offsets stay on the block-aligned
+    # path prefix caching already exercises). Not applicable to hybrid
+    # (Mamba2) models — their prefill scan cannot resume mid-prompt — the
+    # LLM facade zeroes it there, like enable_prefix_caching.
+    prefill_chunk_tokens: int = 0
 
     def __post_init__(self):
         if self.kv_block_size % 16 != 0:
@@ -311,6 +329,11 @@ class EngineConfig:
             raise ValueError(
                 "max_decode_slots must be divisible by data_parallel_size "
                 f"({self.max_decode_slots} % {self.data_parallel_size})"
+            )
+        if self.prefill_chunk_tokens and self.prefill_chunk_tokens < self.kv_block_size:
+            raise ValueError(
+                "prefill_chunk_tokens must be 0 (off) or >= kv_block_size "
+                f"({self.prefill_chunk_tokens} < {self.kv_block_size})"
             )
 
     def replace(self, **kw) -> "EngineConfig":

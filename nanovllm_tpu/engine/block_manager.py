@@ -72,6 +72,12 @@ class BlockManager:
         self.hash_to_block_id: dict[int, int] = {}
         self.free_block_ids: deque[int] = deque(range(num_blocks))
         self.used_block_ids: set[int] = set()
+        # Blocks whose hashes are registered but whose KV has NOT been
+        # written yet (prompt blocks between allocate() and the prefill step
+        # that covers them — a multi-step window under chunked prefill). A
+        # cache hit on a pending block must be treated as a miss: the hit
+        # would skip compute and read garbage KV.
+        self.pending_blocks: set[int] = set()
 
     @property
     def num_free_blocks(self) -> int:
@@ -89,12 +95,14 @@ class BlockManager:
         block.reset()
         self.free_block_ids.remove(block_id)
         self.used_block_ids.add(block_id)
+        self.pending_blocks.discard(block_id)
         return block
 
     def _deallocate_block(self, block_id: int) -> None:
         assert self.blocks[block_id].ref_count == 0
         self.used_block_ids.remove(block_id)
         self.free_block_ids.append(block_id)
+        self.pending_blocks.discard(block_id)
 
     def can_allocate(self, seq: Sequence) -> bool:
         return self.num_free_blocks >= seq.num_blocks
@@ -113,11 +121,23 @@ class BlockManager:
             full = len(token_ids) == self.block_size
             h = compute_hash(token_ids, h) if (full and self.enable_prefix_caching) else -1
             block_id = self.hash_to_block_id.get(h, -1) if h != -1 else -1
-            if block_id == -1 or self.blocks[block_id].token_ids != token_ids:
+            if (
+                block_id == -1
+                or self.blocks[block_id].token_ids != token_ids
+                or block_id in self.pending_blocks
+            ):
                 cache_miss = True
             if cache_miss:
                 block_id = self.free_block_ids[0]
                 block = self._allocate_block(block_id)
+                # This prompt block's KV doesn't exist until a prefill step
+                # covers it: guard hits, and DEFER the hash_to_block_id
+                # registration to mark_computed (a pending registration
+                # could outlive the sequence via deallocate and hand a
+                # later prompt garbage KV).
+                self.pending_blocks.add(block_id)
+                if h != -1:
+                    block.update(h, token_ids)
             else:
                 seq.num_cached_tokens += self.block_size
                 if block_id in self.used_block_ids:
@@ -125,10 +145,22 @@ class BlockManager:
                     block.ref_count += 1
                 else:
                     block = self._allocate_block(block_id)
-            if h != -1:
-                block.update(h, token_ids)
-                self.hash_to_block_id[h] = block_id
+                if h != -1:
+                    block.update(h, token_ids)
+                    self.hash_to_block_id[h] = block_id
             seq.block_table.append(block_id)
+
+    def mark_computed(self, seq: Sequence) -> None:
+        """Prefill has covered this sequence's whole prompt: its blocks' KV
+        is now real — publish their hashes for prefix-cache hits."""
+        if not self.pending_blocks:
+            return
+        for block_id in seq.block_table:
+            if block_id in self.pending_blocks:
+                self.pending_blocks.discard(block_id)
+                block = self.blocks[block_id]
+                if block.hash != -1:
+                    self.hash_to_block_id[block.hash] = block_id
 
     def deallocate(self, seq: Sequence) -> None:
         # Entries below num_released_blocks were already released by the
@@ -139,7 +171,9 @@ class BlockManager:
             block.ref_count -= 1
             if block.ref_count == 0:
                 self._deallocate_block(block_id)
-        seq.num_cached_tokens = 0
+        # NB num_cached_tokens is deliberately NOT reset here: RequestOutput
+        # reads it after the finishing deallocate, and re-admission after a
+        # preemption overwrites it in allocate() anyway.
         seq.num_released_blocks = 0
         seq.block_table = []
 

@@ -167,13 +167,24 @@ class LLMEngine:
         dt = time.perf_counter() - t0
         now = time.perf_counter()
         if is_prefill:
-            n = sum(len(s) - s.num_cached_tokens for s in seqs)
+            # Tokens computed this step: chunk end minus progress (equals
+            # len - num_cached for whole-prompt admission).
+            n = sum((s.prefill_target or len(s)) - s.num_prefilled_tokens for s in seqs)
             self.metrics["prefill_tokens"] += n
             self.metrics["prefill_time"] += dt
-            self.metrics["cached_prompt_tokens"] += sum(s.num_cached_tokens for s in seqs)
+            # Cache hits are counted once, on a sequence's FIRST chunk.
+            self.metrics["cached_prompt_tokens"] += sum(
+                s.num_cached_tokens for s in seqs
+                if s.num_prefilled_tokens == s.num_cached_tokens
+            )
             self.registry.observe("prefill_step_s", dt)
             for s in seqs:
-                if s.seq_id not in self._first_token and s.seq_id in self._arrival:
+                final_chunk = s.prefill_target is None or s.prefill_target >= len(s)
+                if (
+                    final_chunk
+                    and s.seq_id not in self._first_token
+                    and s.seq_id in self._arrival
+                ):
                     ttft = now - self._arrival[s.seq_id]
                     self._first_token[s.seq_id] = ttft
                     self.registry.observe("ttft_s", ttft)
@@ -195,8 +206,7 @@ class LLMEngine:
             num_seqs=len(seqs),
             duration_s=round(dt, 6),
             batched_tokens=(
-                sum(len(s) - s.num_cached_tokens for s in seqs)
-                if is_prefill
+                n if is_prefill
                 else sum(len(s) - lens_before[s.seq_id] for s in seqs)
             ),
             cached_tokens=sum(s.num_cached_tokens for s in seqs) if is_prefill else 0,
@@ -242,6 +252,8 @@ class LLMEngine:
                 seq.retries += 1
                 if seq in self.scheduler.running:
                     self.scheduler.running.remove(seq)
+                if seq in self.scheduler.prefilling:
+                    self.scheduler.prefilling.remove(seq)
                 if seq.retries > self.engine_cfg.max_retries_per_request:
                     seq.finish_reason = "error"
                     self._release_sequence(seq)
@@ -269,6 +281,8 @@ class LLMEngine:
             sch.waiting.remove(seq)
         if seq in sch.running:
             sch.running.remove(seq)
+        if seq in sch.prefilling:
+            sch.prefilling.remove(seq)
         if seq.block_table:
             sch.block_manager.deallocate(seq)
         if seq.slot is not None:

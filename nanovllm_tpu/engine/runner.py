@@ -57,6 +57,11 @@ class MockModelRunner:
         out = []
         n_steps = 1 if is_prefill else self.burst
         for seq in seqs:
+            if is_prefill and not (
+                seq.prefill_target is None or seq.prefill_target >= len(seq)
+            ):
+                out.append([])  # mid-prefill chunk: no token sampled yet
+                continue
             toks = []
             for i in range(n_steps):
                 n = seq.num_completion_tokens + i
@@ -71,6 +76,18 @@ class MockModelRunner:
 
     def close(self) -> None:
         pass
+
+
+def _chunk_bounds(seq: Sequence) -> tuple[int, int]:
+    """[start, end) of this step's prefill chunk. Whole remaining prompt when
+    the scheduler didn't set a chunk target (non-chunked admission)."""
+    start = max(seq.num_prefilled_tokens, seq.num_cached_tokens)
+    end = seq.prefill_target if seq.prefill_target is not None else len(seq)
+    return start, end
+
+
+def _is_final_chunk(seq: Sequence) -> bool:
+    return seq.prefill_target is None or seq.prefill_target >= len(seq)
 
 
 def default_num_kv_blocks(mcfg: ModelConfig, ecfg: EngineConfig) -> int:
@@ -228,6 +245,28 @@ class TPUModelRunner:
             self._dp = 1
             self._sample_op = sampling_ops.sample
 
+        # Context-parallel prefill axis: 'data' when dp>1 (weights are
+        # replicated over it — the clean CP axis); otherwise fall back to
+        # 'model' on tp-only meshes (VERDICT r3 #6 — the common single-host
+        # Falcon config). On the model axis the weights stay TP-sharded while
+        # the token dim shards over the same axis; GSPMD inserts the
+        # per-layer weight/activation collectives, trading bandwidth for the
+        # O((T/P)^2) score-memory ceiling ring attention provides.
+        self._cp_axis = None
+        self._cp_size = 1
+        self._cp_sh = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from nanovllm_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+            shape = dict(mesh.shape)
+            if shape.get(DATA_AXIS, 1) > 1:
+                self._cp_axis, self._cp_size = DATA_AXIS, shape[DATA_AXIS]
+            elif shape.get(MODEL_AXIS, 1) > 1:
+                self._cp_axis, self._cp_size = MODEL_AXIS, shape[MODEL_AXIS]
+            if self._cp_axis is not None:
+                self._cp_sh = NamedSharding(mesh, PartitionSpec(self._cp_axis))
+
         self.max_blocks_per_seq = math.ceil(engine_cfg.max_model_len / bs)
         self._prefill_cache: dict = {}
         self._decode_cache: dict = {}
@@ -267,22 +306,23 @@ class TPUModelRunner:
         return self._prefill_cache[key]
 
     def _get_prefill_cp(self, T: int, nb: int):
-        """Context-parallel prefill program: token dim sharded over the mesh
-        'data' axis, ring attention over the in-flight chunk (see
-        M.prefill_chunk cp=). One compiled program per (T, nb) bucket."""
-        key = ("cp", T, nb)
+        """Context-parallel prefill program: token dim sharded over the CP
+        axis ('data' when dp>1, else 'model' on tp-only meshes), ring
+        attention over the in-flight chunk (see M.prefill_chunk cp=). One
+        compiled program per (T, nb) bucket."""
+        key = ("cp", self._cp_axis, T, nb)
         if key not in self._prefill_cache:
             cfg = self.mcfg
             bs = self.ecfg.kv_block_size
             mesh = self.mesh
             rep, pool_sh = self._rep, self._pool_sh
-            from nanovllm_tpu.parallel.mesh import DATA_AXIS
+            cp_axis = self._cp_axis
 
             def fn(params, tokens, positions, valid_len, context_len, block_table, slot_mapping, pool, mamba_state, slot_idx):
                 logits, pool, ms = M.prefill_chunk(
                     params, cfg, tokens, positions, valid_len, context_len,
                     block_table, slot_mapping, pool, mamba_state, slot_idx, bs,
-                    cp=(mesh, DATA_AXIS),
+                    cp=(mesh, cp_axis),
                 )
                 logits = jax.lax.with_sharding_constraint(logits, rep)
                 pool = {
@@ -531,12 +571,12 @@ class TPUModelRunner:
         block_tables = np.zeros((Nb, nb), np.int32)
         slot_mapping = np.full((Nb, Tb), self.num_slots_flat, np.int32)
         for i, seq in enumerate(seqs):
-            start = seq.num_cached_tokens
-            chunk = seq.token_ids[start:]
+            start, end = _chunk_bounds(seq)
+            chunk = seq.token_ids[start:end]
             tokens[i, : len(chunk)] = chunk
             positions[i] = np.arange(start, start + Tb)
             valid_lens[i] = len(chunk)
-            context_lens[i] = len(seq)
+            context_lens[i] = end  # KV exists only up to the chunk end
             block_tables[i, : len(seq.block_table)] = seq.block_table
             slot_mapping[i] = kvc.make_slot_mapping(
                 block_tables[i], start, len(chunk), self.block_size, Tb, self.num_slots_flat
@@ -567,18 +607,24 @@ class TPUModelRunner:
     # ---- prefill ---------------------------------------------------------
 
     def _cp_applies(self, seq: Sequence) -> bool:
-        """Context-parallel prefill gate: a fresh long prompt on a dp>1 mesh
-        (no cached prefix — the in-flight chunk must BE the whole context —
-        and no Mamba layers, whose prefill is a sequential state scan)."""
-        if not (self.ecfg.context_parallel and self._lane is not None and self._lane is not self._rep):
+        """Context-parallel prefill gate: a fresh long prompt on a multi-chip
+        mesh — token dim sharded over 'data' when dp>1, else over 'model'
+        (tp-only). Requires no cached prefix (the in-flight chunk must BE the
+        whole context; a prefix-cache hit falls back to the dense path — a
+        known latency cliff on long shared-prefix prompts, see
+        EngineConfig.context_parallel) and no Mamba layers, whose prefill is
+        a sequential state scan."""
+        if not (self.ecfg.context_parallel and self._cp_axis is not None):
             return False
         if self.mcfg.is_hybrid or seq.num_cached_tokens != 0:
             return False
+        if not (_is_final_chunk(seq) and seq.num_prefilled_tokens == 0):
+            return False  # chunked admission: the chunk isn't the whole context
         Tb = bucket_length(len(seq), self.ecfg.min_prefill_bucket, self.ecfg.max_model_len)
-        return Tb >= self.ecfg.cp_min_tokens and Tb % self._dp == 0
+        return Tb >= self.ecfg.cp_min_tokens and Tb % self._cp_size == 0
 
     def _prefill_one_cp(self, seq: Sequence) -> jnp.ndarray:
-        """One sequence's fresh prompt, token dim sharded over 'data'."""
+        """One sequence's fresh prompt, token dim sharded over the CP axis."""
         chunk = seq.token_ids
         T_real = len(chunk)
         Tb = bucket_length(T_real, self.ecfg.min_prefill_bucket, self.ecfg.max_model_len)
@@ -596,12 +642,12 @@ class TPUModelRunner:
         fn = self._get_prefill_cp(Tb, nb)
         logits, self.pool, _ = fn(
             self.params,
-            self._dev(tokens, self._lane),
-            self._dev(positions, self._lane),
+            self._dev(tokens, self._cp_sh),
+            self._dev(positions, self._cp_sh),
             self._dev(np.int32(T_real)),
             self._dev(np.int32(len(seq))),
             self._dev(block_table),
-            self._dev(slot_mapping, self._lane),
+            self._dev(slot_mapping, self._cp_sh),
             self.pool,
             None,
             self._dev(np.int32(seq.slot if seq.slot is not None else 0)),
@@ -609,8 +655,8 @@ class TPUModelRunner:
         return logits
 
     def _prefill_one(self, seq: Sequence) -> jnp.ndarray:
-        start = seq.num_cached_tokens
-        chunk = seq.token_ids[start:]
+        start, end = _chunk_bounds(seq)
+        chunk = seq.token_ids[start:end]
         T_real = len(chunk)
         Tb = bucket_length(T_real, self.ecfg.min_prefill_bucket, self.ecfg.max_model_len)
         ctx_blocks = len(seq.block_table)
@@ -630,7 +676,7 @@ class TPUModelRunner:
             self._dev(tokens),
             self._dev(positions),
             self._dev(np.int32(T_real)),
-            self._dev(np.int32(len(seq))),
+            self._dev(np.int32(end)),
             self._dev(block_table),
             self._dev(slot_mapping),
             self.pool,
@@ -705,7 +751,8 @@ class TPUModelRunner:
             # Group same-bucket sequences into batched dispatches.
             groups: dict[tuple[int, int], list[Sequence]] = {}
             for seq in seqs_rest:
-                T_real = len(seq) - seq.num_cached_tokens
+                start, end = _chunk_bounds(seq)
+                T_real = end - start
                 Tb = bucket_length(T_real, self.ecfg.min_prefill_bucket, self.ecfg.max_model_len)
                 nb = bucket_length(len(seq.block_table), 1, self.max_blocks_per_seq + 1)
                 groups.setdefault((Tb, nb), []).append(seq)
@@ -716,17 +763,23 @@ class TPUModelRunner:
                     rows = self._prefill_group(sub, Tb, nb)
                     for seq, row in zip(sub, rows):
                         logits_by_seq[seq.seq_id] = row
-        logits_rows = [logits_by_seq[s.seq_id] for s in seqs]
-        n = len(seqs)
+        # Sample only sequences whose chunk completed their prompt; a
+        # mid-prefill chunk returns an empty burst (its last-row logits are
+        # meaningless until the final chunk).
+        final_seqs = [s for s in seqs if _is_final_chunk(s)]
+        if not final_seqs:
+            return [[] for _ in seqs]
+        logits_rows = [logits_by_seq[s.seq_id] for s in final_seqs]
+        n = len(final_seqs)
         nb_batch = bucket_length(n, 1, max(self.S, n))
         logits = jnp.stack(logits_rows)
         if nb_batch > n:
             logits = jnp.pad(logits, ((0, nb_batch - n), (0, 0)))
-        slots = np.array([s.slot for s in seqs] + [0] * (nb_batch - n), np.int32)
+        slots = np.array([s.slot for s in final_seqs] + [0] * (nb_batch - n), np.int32)
         tokens = self._sample_for(logits, slots)
-        out = [int(t) for t in tokens[:n]]
-        self._append_history(seqs, out)
-        return [[t] for t in out]
+        sampled = {s.seq_id: int(t) for s, t in zip(final_seqs, tokens[:n])}
+        self._append_history(final_seqs, [sampled[s.seq_id] for s in final_seqs])
+        return [[sampled[s.seq_id]] if s.seq_id in sampled else [] for s in seqs]
 
     def _sync_hist_lens_to_device(self, slots: list[int]) -> None:
         d = self.d_sampling

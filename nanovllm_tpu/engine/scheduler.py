@@ -41,6 +41,13 @@ class Scheduler:
         )
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
+        # Admitted sequences whose prompt is only partially prefilled
+        # (chunked prefill, EngineConfig.prefill_chunk_tokens). They hold
+        # blocks + a decode slot but are not decode-eligible until their
+        # final chunk runs.
+        self.prefilling: deque[Sequence] = deque()
+        self.prefill_chunk_tokens = config.prefill_chunk_tokens
+        self._last_step_prefill = False
         self.num_preemptions = 0
         # Slot handout order. Under data parallelism the decode batch dim is
         # sharded over the mesh 'data' axis in contiguous chunks of
@@ -60,39 +67,104 @@ class Scheduler:
         self.waiting.append(seq)
 
     def is_finished(self) -> bool:
-        return not self.waiting and not self.running
+        return not self.waiting and not self.running and not self.prefilling
 
     def num_waiting(self) -> int:
         return len(self.waiting)
 
     def num_running(self) -> int:
-        return len(self.running)
+        return len(self.running) + len(self.prefilling)
+
+    def _chunk_end(self, seq: Sequence, tokens_used: int) -> int | None:
+        """End offset of this step's prefill chunk for `seq`, or None if no
+        budget. Non-final chunk ends align down to kv_block_size so every
+        mid-prompt resume sits on the block-aligned path prefix caching
+        already exercises."""
+        cap = self.prefill_chunk_tokens
+        progress = seq.num_prefilled_tokens
+        remaining = len(seq) - progress
+        budget_left = self.max_num_batched_tokens - tokens_used
+        take = min(remaining, cap) if cap else remaining
+        take = min(take, budget_left)
+        if take <= 0:
+            return None
+        end = progress + take
+        if end < len(seq):
+            if not cap:
+                return None  # whole-prompt mode never splits
+            end_aligned = (end // self.config.kv_block_size) * self.config.kv_block_size
+            if end_aligned <= progress:
+                return None
+            end = end_aligned
+        return end
 
     def schedule(self) -> tuple[list[Sequence], bool]:
-        """Returns (sequences, is_prefill). Prefill-first: admit waiting
-        sequences while budgets hold; otherwise run one decode step over the
-        running set (preempting from the back if blocks are exhausted)."""
+        """Returns (sequences, is_prefill). Prefill-first: continue in-flight
+        chunked prefills, then admit waiting sequences while budgets hold;
+        otherwise run one decode step over the running set (preempting from
+        the back if blocks are exhausted). When a chunk train and running
+        decodes coexist, prefill and decode steps ALTERNATE so a long prompt
+        doesn't stall every running sequence for its whole prefill."""
+        if self.prefilling and self.running and self._last_step_prefill:
+            decode = self._schedule_decode()
+            if decode:
+                self._last_step_prefill = False
+                return decode, False
         # --- Prefill branch ---
         scheduled: list[Sequence] = []
         num_batched_tokens = 0
-        while self.waiting and len(self.running) + len(scheduled) < self.max_num_seqs:
+        # 1. Continue mid-prefill chunk trains (they already hold blocks + a
+        # slot; finishing them first frees capacity soonest).
+        for seq in list(self.prefilling):
+            if num_batched_tokens >= self.max_num_batched_tokens:
+                break
+            end = self._chunk_end(seq, num_batched_tokens)
+            if end is None:
+                continue
+            seq.prefill_target = end
+            num_batched_tokens += end - seq.num_prefilled_tokens
+            scheduled.append(seq)
+        # 2. Admit new sequences (short prompts land alongside a chunk train,
+        # bounding their TTFT at ~one chunk step).
+        admitted: list[Sequence] = []
+        while (
+            self.waiting
+            and len(self.running) + len(self.prefilling) + len(admitted) < self.max_num_seqs
+        ):
             seq = self.waiting[0]
-            new_tokens = len(seq)  # worst case (cache hits discovered at allocate)
-            if num_batched_tokens + new_tokens > self.max_num_batched_tokens:
+            # Worst-case new tokens this step (cache hits discovered at
+            # allocate): the first chunk under chunking, the prompt otherwise.
+            cap = self.prefill_chunk_tokens
+            first_chunk = min(len(seq), cap) if cap else len(seq)
+            if num_batched_tokens + first_chunk > self.max_num_batched_tokens:
                 break
             if not self.block_manager.can_allocate(seq) or not self.free_slots:
                 break
             self.waiting.popleft()
             self.block_manager.allocate(seq)
             seq.num_cached_tokens = min(seq.num_cached_tokens, len(seq) - 1)
+            seq.num_prefilled_tokens = seq.num_cached_tokens
             seq.slot = self.free_slots.pop()
             seq.status = SequenceStatus.RUNNING
-            num_batched_tokens += len(seq) - seq.num_cached_tokens
+            end = self._chunk_end(seq, num_batched_tokens)
+            seq.prefill_target = end if end is not None else len(seq)
+            num_batched_tokens += seq.prefill_target - seq.num_prefilled_tokens
+            admitted.append(seq)
             scheduled.append(seq)
+        for seq in admitted:
+            if seq.prefill_target < len(seq):
+                self.prefilling.append(seq)
+            else:
+                self.running.append(seq)
         if scheduled:
-            self.running.extend(scheduled)
+            self._last_step_prefill = True
             return scheduled, True
 
+        decode = self._schedule_decode()
+        self._last_step_prefill = False
+        return decode, False
+
+    def _schedule_decode(self) -> list[Sequence]:
         # --- Decode branch (multi-step burst): every scheduled sequence gets
         # block capacity for `decode_burst` appended tokens up front ---
         burst = self.config.decode_burst
@@ -120,7 +192,7 @@ class Scheduler:
             self.block_manager.ensure_capacity(seq, need)
             decode.append(seq)
         self.running.extend(decode)
-        if not decode and self.waiting and not self.running:
+        if not decode and self.waiting and not self.running and not self.prefilling:
             # Prefill already failed this call with every resource free: the
             # head sequence can never be admitted (pool too small). The
             # reference panics here too (scheduler.go:103).
@@ -129,7 +201,7 @@ class Scheduler:
                 f"unschedulable sequence: needs {seq.num_blocks} blocks, pool has "
                 f"{self.block_manager.num_blocks} total"
             )
-        return decode, False
+        return decode
 
     def _preempt(self, seq: Sequence) -> None:
         self.num_preemptions += 1
@@ -138,6 +210,11 @@ class Scheduler:
         if seq.slot is not None:
             self.free_slots.append(seq.slot)
             seq.slot = None
+        if seq in self.prefilling:
+            self.prefilling.remove(seq)
+        # Chunk progress dies with the KV blocks; prefill restarts on re-admit.
+        seq.num_prefilled_tokens = 0
+        seq.prefill_target = None
         self.waiting.appendleft(seq)
 
     def postprocess(self, seqs: list[Sequence], token_bursts: list[list[int]]) -> list[Sequence]:
@@ -150,6 +227,16 @@ class Scheduler:
                 # Aborted while the device step was in flight: its blocks and
                 # slot are already released — discard the burst entirely.
                 continue
+            if seq.prefill_target is not None and seq.num_prefilled_tokens < seq.prefill_target:
+                # A prefill chunk just ran on device: advance progress; on
+                # the final chunk the prompt's KV is complete (cache hits on
+                # its blocks become safe) and the sequence joins decode.
+                seq.num_prefilled_tokens = seq.prefill_target
+                if seq.num_prefilled_tokens >= seq.num_prompt_tokens:
+                    self.block_manager.mark_computed(seq)
+                    if seq in self.prefilling:
+                        self.prefilling.remove(seq)
+                        self.running.append(seq)
             sp = seq.sampling_params
             stop_ids = set(sp.stop_token_ids) | self.eos_token_ids
             for token_id in burst:

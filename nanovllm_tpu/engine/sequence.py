@@ -33,6 +33,12 @@ class Sequence:
         self.token_ids: list[int] = list(token_ids)
         self.num_prompt_tokens: int = len(token_ids)
         self.num_cached_tokens: int = 0  # prefix-cache hits (tokens whose KV is reused)
+        # Chunked-prefill progress: prompt tokens whose KV is computed (set to
+        # num_cached_tokens at admission, advanced per chunk in postprocess).
+        self.num_prefilled_tokens: int = 0
+        # End offset of the prefill chunk scheduled THIS step (== len(seq)
+        # for whole-prompt admission and for the final chunk).
+        self.prefill_target: Optional[int] = None
         self.block_table: list[int] = []
         # Leading block-table entries released by the sliding-window recycler
         # (block_manager.release_behind_window) — placeholders, not live ids.

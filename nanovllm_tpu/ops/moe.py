@@ -111,13 +111,20 @@ def moe_forward_dispatch(
     dispatch = (
         jnp.full((X * C + 1,), T, jnp.int32).at[slot].set(tok_flat, mode="drop")[:-1]
     )
+    # Per-slot combine weight (each slot holds at most one assignment).
+    w_slot = jnp.zeros((X * C + 1,), jnp.float32).at[slot].set(w_flat, mode="drop")[:-1]
     x_pad = jnp.concatenate([x, jnp.zeros((1, Eh), x.dtype)], axis=0)
     xe = x_pad[dispatch].reshape(X, C, Eh)
     y = _expert_glu(cfg, p, xe)                              # [X, C, Eh] f32
 
-    y_pad = jnp.concatenate([y.reshape(X * C, Eh), jnp.zeros((1, Eh), y.dtype)], axis=0)
-    y_tk = y_pad[jnp.minimum(slot, X * C)]                   # [T*k, Eh]; dropped -> 0
-    out = jnp.sum((y_tk * w_flat[:, None]).reshape(T, k, Eh), axis=1)
+    # Combine by scatter-ADD back to token rows (dispatch row T = sentinel
+    # for empty slots). Equivalent to the per-(t,k) gather-back + k-sum, but
+    # the k-sum happens in expert-major space, so under expert parallelism
+    # GSPMD's cross-device reduction is ONE all-reduce of [T, Eh] (4.2 MB at
+    # Granite-MoE-1B T=1024) instead of the [T*k, Eh] gather-back (33.5 MB)
+    # — measured on the 8-device mesh (docs/PERFORMANCE.md, EP collectives).
+    yw = y.reshape(X * C, Eh) * w_slot[:, None]
+    out = jnp.zeros((T + 1, Eh), y.dtype).at[dispatch].add(yw)[:T]
     return out.astype(x.dtype)
 
 

@@ -33,6 +33,13 @@ def test_prefix_cache_sharing():
     s1, s2 = seq(prompt), seq(list(prompt))
     bm.allocate(s1)
     assert s1.num_cached_tokens == 0
+    # s1's blocks are PENDING (no prefill step has written their KV yet):
+    # a duplicate allocated now must NOT share them.
+    s0 = seq(list(prompt))
+    bm.allocate(s0)
+    assert s0.num_cached_tokens == 0
+    bm.deallocate(s0)
+    bm.mark_computed(s1)  # the prefill step covering s1's prompt ran
     bm.allocate(s2)
     assert s2.num_cached_tokens == 2 * BS
     assert s2.block_table == s1.block_table  # shared, refcounted
@@ -47,6 +54,7 @@ def test_prefix_cache_rejects_hash_collision_with_different_tokens():
     bm = BlockManager(num_blocks=16, block_size=BS)
     s1 = seq(list(range(BS)))
     bm.allocate(s1)
+    bm.mark_computed(s1)
     s2 = seq(list(range(BS, 2 * BS)))  # different tokens
     bm.allocate(s2)
     assert s2.num_cached_tokens == 0
@@ -58,6 +66,7 @@ def test_partial_last_block_not_cached():
     prompt = list(range(BS + 3))  # one full + partial
     s1, s2 = seq(prompt), seq(list(prompt))
     bm.allocate(s1)
+    bm.mark_computed(s1)
     bm.allocate(s2)
     assert s2.num_cached_tokens == BS  # only the sealed block
 

@@ -71,7 +71,34 @@ def test_cp_prefill_engine_outputs_match_single_device():
     # The long prompt actually rode the CP program; the short one stayed on
     # the batched path (below cp_min_tokens).
     cp_keys = [k for k in r2._prefill_cache if k[0] == "cp"]
-    assert cp_keys and cp_keys[0][1] == 64, r2._prefill_cache.keys()
+    assert cp_keys and cp_keys[0][1:3] == (DATA_AXIS, 64), r2._prefill_cache.keys()
+    for a, b in zip(out1, out2):
+        assert a.token_ids == b.token_ids
+
+
+def test_cp_prefill_on_tp_only_mesh():
+    """VERDICT r3 #6: a tp-only mesh (dp==1) must CP over the 'model' axis —
+    the common single-host Falcon config — with outputs matching the
+    single-device engine exactly."""
+    from nanovllm_tpu.parallel.mesh import MODEL_AXIS
+
+    cfg = tiny_cfg()
+    params = M.init_params(cfg, seed=37)
+
+    r1 = TPUModelRunner(cfg, ecfg(), params=params)
+    out1 = LLM(model_config=cfg, engine_config=ecfg(), runner=r1).generate(
+        [LONG_PROMPT, SHORT_PROMPT], SP
+    )
+
+    e2 = ecfg(tensor_parallel_size=2, context_parallel=True, cp_min_tokens=32)
+    mesh = make_mesh(tp_size=2, dp_size=1)
+    with mesh:
+        r2 = TPUModelRunner(cfg, e2, params=params, mesh=mesh)
+        out2 = LLM(model_config=cfg, engine_config=e2, runner=r2).generate(
+            [LONG_PROMPT, SHORT_PROMPT], SP
+        )
+    cp_keys = [k for k in r2._prefill_cache if k[0] == "cp"]
+    assert cp_keys and cp_keys[0][1] == MODEL_AXIS, r2._prefill_cache.keys()
     for a, b in zip(out1, out2):
         assert a.token_ids == b.token_ids
 

@@ -219,3 +219,62 @@ def test_skewed_routing_renormalizes_over_survivors():
     # Type-A tokens are undropped: must equal the exact dense path.
     dense = moe_ops.moe_forward(cfg, p, x)
     np.testing.assert_allclose(np.asarray(out)[:16], np.asarray(dense)[:16], rtol=1e-4, atol=1e-4)
+
+
+def test_ep_dispatch_collective_is_token_sized_all_reduce():
+    """SURVEY §7 hard-part #4, proven at serving shape (VERDICT r3 #5): with
+    experts sharded over 'model' at Granite-MoE-1B shape (T=1024, X=32,
+    top-8, C=320), the compiled dispatch program must (a) partition expert
+    compute (per-device FLOPs ~1/8 of single-device — GSPMD does NOT
+    replicate the token batch through the experts) and (b) reconcile with a
+    combine collective bounded by the TOKEN activation size [T+1, Eh]
+    (~4.2 MB f32) — not the [T*k, Eh] gather-back (33.5 MB) the pre-r4
+    combine formulation produced."""
+    import re
+
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        return
+    cfg = make_cfg(
+        vocab_size=49155, hidden_size=1024, num_heads=16, num_kv_heads=8,
+        intermediate_size=512, max_seq_len=4096,
+        num_experts=32, num_experts_per_tok=8, moe_intermediate_size=512,
+    )
+    rng = np.random.default_rng(11)
+    p = moe_ops.init_moe_params(cfg, rng)
+    p = {k: jnp.asarray(v) if not isinstance(v, dict) else {kk: jnp.asarray(vv) for kk, vv in v.items()} for k, v in p.items()}
+    T, C = 1024, 320
+    x = jnp.asarray(rng.standard_normal((T, cfg.hidden_size)).astype(np.float32))
+    fn = lambda pp, xx: moe_ops.moe_forward_dispatch(cfg, pp, xx, capacity=C)  # noqa: E731
+
+    flops_1 = jax.jit(fn).lower(p, x).compile().cost_analysis()["flops"]
+    mesh = Mesh(np.array(devs[:8]), ("model",))
+    p_sh = dict(p)
+    p_sh["gate_up"] = jax.device_put(p["gate_up"], NamedSharding(mesh, P("model", None, None)))
+    p_sh["down"] = jax.device_put(p["down"], NamedSharding(mesh, P("model", None, None)))
+    with mesh:
+        comp = jax.jit(fn).lower(p_sh, x).compile()
+    flops_8 = comp.cost_analysis()["flops"]
+    assert flops_8 < 0.25 * flops_1, (flops_1, flops_8)
+
+    sizes = []
+    for line in comp.as_text().splitlines():
+        m = re.search(
+            r"= \(?(\w+)\[([\d,]*)\]\S* (all-gather|all-reduce|all-to-all|reduce-scatter)\(",
+            line,
+        )
+        if not m:
+            continue
+        dtype, dims, _op = m.groups()
+        itemsize = {"f32": 4, "bf16": 2, "s32": 4, "u32": 4, "s8": 1, "pred": 1}.get(dtype, 4)
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        sizes.append(n * itemsize)
+    token_bytes = (T + 1) * cfg.hidden_size * 4
+    assert sizes, "no combine collective found in EP dispatch HLO"
+    assert max(sizes) <= token_bytes + 4096, (max(sizes), token_bytes)
