@@ -55,10 +55,12 @@ def main():
 
     B = int(os.environ.get("FALCON_LANES", "32"))
     PROMPT = int(os.environ.get("FALCON_PROMPT", "128"))
-    # Burst 32 amortizes the tunnel round-trip to ~0.9ms/step (measured r3:
-    # burst 8 -> 2,246 tok/s, burst 32 -> 2,936 tok/s at 32 lanes).
-    DECODE = int(os.environ.get("FALCON_DECODE", "96"))
-    BURST = int(os.environ.get("FALCON_BURST", "32"))
+    # Burst 64 amortizes the tunnel round-trip to ~0.45ms/step (r4; with the
+    # in-loop-unpack kernels + tiled weight layout this measures 3,784 tok/s
+    # = roofline fraction 0.554, closing the BASELINE >0.5 gate. History:
+    # burst 8 -> 2,246; burst 32 -> 2,936 @ 0.429 in r3).
+    DECODE = int(os.environ.get("FALCON_DECODE", "128"))
+    BURST = int(os.environ.get("FALCON_BURST", "64"))
 
     t0 = time.time()
 

@@ -214,6 +214,26 @@ def to_device_params(params, cfg: ModelConfig, device: bool = True):
     return walk(params)
 
 
+def tile_quant_params(params):
+    """Permute every int4 QuantLinear to the tiled HBM layout
+    (ops/quant.tile_int4: contiguous kernel grid-block DMAs). Single-mesh
+    only — structural transforms (TP sharding, shard streaming) require the
+    canonical [K/2, N] layout, so the runner applies this LAST, and only
+    when no mesh is in play."""
+    from nanovllm_tpu.ops.quant import QuantLinear, tile_int4
+
+    def walk(node):
+        if isinstance(node, QuantLinear):
+            return tile_int4(node)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        return node
+
+    return walk(params)
+
+
 def stack_blocks(params: dict) -> dict:
     """Stack the per-layer block list into layer-leading arrays so the
     forward can lax.scan over layers (one compiled layer body). Only valid

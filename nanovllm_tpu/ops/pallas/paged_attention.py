@@ -58,6 +58,7 @@ def _kernel(
     scale: float,
     window: int,
     quantized: bool,
+    npg: int,    # pages fetched + scored per loop iteration
 ):
     if quantized:
         (kspool_ref, vspool_ref, o_ref,
@@ -67,68 +68,74 @@ def _kernel(
     b = pl.program_id(0)
     ctx = ctx_ref[b]
     n_pages = pl.cdiv(ctx, bs)
-    first_page = 0
+    n_chunks = pl.cdiv(n_pages, npg)
+    first_chunk = jnp.int32(0)
     if window > 0:
-        first_page = jnp.maximum(ctx - window, 0) // bs
+        first_chunk = (jnp.maximum(ctx - window, 0) // bs) // npg
 
-    def dmas(slot, j):
-        page = bt_ref[b, j]
-        out = [
-            pltpu.make_async_copy(
-                kpool_ref.at[pl.ds(page * bs, bs), :], kbuf.at[slot], sems.at[slot, 0]
-            ),
-            pltpu.make_async_copy(
-                vpool_ref.at[pl.ds(page * bs, bs), :], vbuf.at[slot], sems.at[slot, 1]
-            ),
-        ]
-        if quantized:
-            out.append(
-                pltpu.make_async_copy(
-                    kspool_ref.at[:, pl.ds(page * bs, bs)], ksbuf.at[slot], sems.at[slot, 2]
-                )
-            )
-            out.append(
-                pltpu.make_async_copy(
-                    vspool_ref.at[:, pl.ds(page * bs, bs)], vsbuf.at[slot], sems.at[slot, 3]
-                )
-            )
+    def dmas(slot, jc):
+        """Fetch the npg pages of chunk jc into buffer `slot`. Page indices
+        past n_pages clamp to the last valid page (their keys are masked by
+        pos >= ctx) — branch-free tail handling."""
+        out = []
+        for i in range(npg):
+            page = bt_ref[b, jnp.minimum(jc * npg + i, jnp.maximum(n_pages - 1, 0))]
+            out.append(pltpu.make_async_copy(
+                kpool_ref.at[pl.ds(page * bs, bs), :],
+                kbuf.at[slot, pl.ds(i * bs, bs), :], sems.at[slot, i, 0],
+            ))
+            out.append(pltpu.make_async_copy(
+                vpool_ref.at[pl.ds(page * bs, bs), :],
+                vbuf.at[slot, pl.ds(i * bs, bs), :], sems.at[slot, i, 1],
+            ))
+            if quantized:
+                out.append(pltpu.make_async_copy(
+                    kspool_ref.at[:, pl.ds(page * bs, bs)],
+                    ksbuf.at[slot, :, pl.ds(i * bs, bs)], sems.at[slot, i, 2],
+                ))
+                out.append(pltpu.make_async_copy(
+                    vspool_ref.at[:, pl.ds(page * bs, bs)],
+                    vsbuf.at[slot, :, pl.ds(i * bs, bs)], sems.at[slot, i, 3],
+                ))
         return out
 
     acc[...] = jnp.zeros_like(acc)
     m_i[...] = jnp.full_like(m_i, NEG_INF)
     l_i[...] = jnp.zeros_like(l_i)
 
-    @pl.when(first_page < n_pages)
+    @pl.when(first_chunk < n_chunks)
     def _():
-        for d in dmas(first_page % 2, first_page):
+        for d in dmas(first_chunk % 2, first_chunk):
             d.start()
 
     q = q_ref[0].astype(jnp.float32)  # [Hkv*Gp, Hkv*D] block-diagonal
 
-    def body(j, _):
-        @pl.when((j >= first_page) & (j < n_pages))
+    def body(jc, _):
+        @pl.when((jc >= first_chunk) & (jc < n_chunks))
         def _():
-            slot = j % 2
+            slot = jc % 2
 
-            @pl.when(j + 1 < n_pages)
+            @pl.when(jc + 1 < n_chunks)
             def _():
-                for d in dmas((j + 1) % 2, j + 1):
+                for d in dmas((jc + 1) % 2, jc + 1):
                     d.start()
 
-            for d in dmas(slot, j):
+            for d in dmas(slot, jc):
                 d.wait()
-            k = kbuf[slot].astype(jnp.float32)  # [bs, Hkv*D]
+            k = kbuf[slot].astype(jnp.float32)  # [npg*bs, Hkv*D]
             v = vbuf[slot].astype(jnp.float32)
 
             # All heads at once: zero blocks in q suppress cross-head terms.
             s = jax.lax.dot_general(
                 q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale  # [Hkv*Gp, bs]
+            ) * scale  # [Hkv*Gp, npg*bs]
             if quantized:
                 # Fold per-(token, head) K scales into the score rows: row
                 # block h scales by kscale[h, t] (repeat rows Gp times).
                 s = s * pltpu.repeat(ksbuf[slot], Gp, axis=0)
-            pos = j * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+            pos = jc * (npg * bs) + jax.lax.broadcasted_iota(
+                jnp.int32, (1, npg * bs), 1
+            )
             mask = pos < ctx
             if window > 0:
                 mask = mask & (pos > ctx - 1 - window)
@@ -154,7 +161,7 @@ def _kernel(
 
         return None
 
-    jax.lax.fori_loop(0, nb, body, None)
+    jax.lax.fori_loop(0, pl.cdiv(nb, npg), body, None)
     denom = jnp.maximum(l_i[:, :1], 1e-30)
     o_ref[0] = (acc[...] / denom).astype(o_ref.dtype)
 
@@ -171,16 +178,32 @@ def paged_attention_decode(
     sliding_window: int = 0,
     k_scale_l: jnp.ndarray | None = None,  # [Hkv, slots] f32 (INT8 pools)
     v_scale_l: jnp.ndarray | None = None,
+    pages_per_iter: int = 0,  # 0 = auto (min(4, nb))
 ) -> jnp.ndarray:
     """Returns [B, H, D] in q.dtype. Pass k/v scale pools for INT8 KV — the
     kernel folds K scales into scores and V scales into the PV probabilities
-    (exact, no dequantized KV ever materializes)."""
+    (exact, no dequantized KV ever materializes).
+
+    pages_per_iter batches several page DMAs per flash iteration: at long
+    context x many lanes the kernel's cost is per-iteration DMA-wait
+    overhead (B x n_pages x layers small transfers), not HBM bandwidth —
+    batching amortizes the waits npg-fold and widens each score dot from
+    [.., bs] to [.., npg*bs]. Tail pages clamp to the last valid page and
+    mask out (< +npg-1 pages of dead traffic per lane)."""
     B, H, D = q.shape
     Hkv = num_kv_heads
     G = H // Hkv
     nb = block_tables.shape[1]
     Gp = max(8, ((G + 7) // 8) * 8)  # sublane-align the group rows
     quantized = k_scale_l is not None
+    import os
+
+    npg = (
+        pages_per_iter
+        or int(os.environ.get("NANOVLLM_PAGED_NPG", "0"))
+        or min(4, nb)
+    )
+    npg = min(npg, nb)
 
     # Build block-diagonal queries [B, Hkv*Gp, Hkv*D].
     qg = q.reshape(B, Hkv, G, D)
@@ -199,21 +222,21 @@ def paged_attention_decode(
     ]
     operands = [block_tables, context_lens, qfull, k_pool_l, v_pool_l]
     scratch = [
-        pltpu.VMEM((2, block_size, Hkv * D), k_pool_l.dtype),
-        pltpu.VMEM((2, block_size, Hkv * D), v_pool_l.dtype),
+        pltpu.VMEM((2, npg * block_size, Hkv * D), k_pool_l.dtype),
+        pltpu.VMEM((2, npg * block_size, Hkv * D), v_pool_l.dtype),
     ]
     if quantized:
         in_specs += [pl.BlockSpec(memory_space=pl.ANY), pl.BlockSpec(memory_space=pl.ANY)]
         operands += [k_scale_l, v_scale_l]
         scratch += [
-            pltpu.VMEM((2, Hkv, block_size), jnp.float32),
-            pltpu.VMEM((2, Hkv, block_size), jnp.float32),
+            pltpu.VMEM((2, Hkv, npg * block_size), jnp.float32),
+            pltpu.VMEM((2, Hkv, npg * block_size), jnp.float32),
         ]
     scratch += [
         pltpu.VMEM((Hkv * Gp, Hkv * D), jnp.float32),
         pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
         pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
-        pltpu.SemaphoreType.DMA((2, 4 if quantized else 2)),
+        pltpu.SemaphoreType.DMA((2, npg, 4 if quantized else 2)),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -227,7 +250,7 @@ def paged_attention_decode(
     out = pl.pallas_call(
         functools.partial(
             _kernel, bs=block_size, nb=nb, Gp=Gp, scale=scale,
-            window=sliding_window, quantized=quantized,
+            window=sliding_window, quantized=quantized, npg=npg,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv * Gp, Hkv * D), jnp.float32),

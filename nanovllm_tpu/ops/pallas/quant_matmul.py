@@ -135,22 +135,28 @@ def _halves_group_dot(xl, xh, packed, sc_lo, sc_hi, dtype):
 
     Unpack is pure int8 AND + int8->bf16 convert (Mosaic legalizes no
     sub-int32 shifts): low nibble offset-binary, high nibble two's
-    complement with the /16 folded into its accumulator scale row."""
+    complement with the /16 folded into its accumulator scale row.
+
+    The unpack runs PER GROUP inside the loop (r4): a whole-tile upfront
+    unpack is one big serial VPU phase before any dot; per-group chunks let
+    Mosaic interleave VPU unpack with MXU dots — measured 0.541 -> 0.625 of
+    the stream floor on the mlp_up shape (the kernels are otherwise
+    DMA+unpack SERIALIZED; see docs/PERFORMANCE.md r4 anatomy)."""
     bm, Kh = xl.shape
-    bn = packed.shape[1]
-    gh = Kh // INT4_GROUP_SIZE  # groups per half
     G = INT4_GROUP_SIZE
-    lo = jnp.bitwise_and(packed, jnp.int8(0x0F)).astype(dtype) - jnp.asarray(8.0, dtype)
-    hi = jnp.bitwise_and(packed, jnp.int8(-16)).astype(dtype)  # == 16 * W_hi
+    gh = Kh // G  # groups per half
     sl = sc_lo.astype(jnp.float32)
     sh = sc_hi.astype(jnp.float32) * 0.0625
     acc = None
     for gi in range(gh):
         r = gi * G
+        pk = packed[r:r + G, :]
+        lo = jnp.bitwise_and(pk, jnp.int8(0x0F)).astype(dtype) - jnp.asarray(8.0, dtype)
+        hi = jnp.bitwise_and(pk, jnp.int8(-16)).astype(dtype)  # == 16 * W_hi
         part = (
-            jnp.dot(xl[:, r:r + G], lo[r:r + G, :], preferred_element_type=jnp.float32)
+            jnp.dot(xl[:, r:r + G], lo, preferred_element_type=jnp.float32)
             * sl[gi:gi + 1, :]
-            + jnp.dot(xh[:, r:r + G], hi[r:r + G, :], preferred_element_type=jnp.float32)
+            + jnp.dot(xh[:, r:r + G], hi, preferred_element_type=jnp.float32)
             * sh[gi:gi + 1, :]
         )
         acc = part if acc is None else acc + part
@@ -207,6 +213,121 @@ def _int4_kernel_ksplit(xl_ref, xh_ref, qw_ref, sclo_ref, schi_ref, o_ref, acc_r
 
 
 # ---------------------------------------------------------------------------
+# Tiled-layout kernels (QuantLinear.layout == "tiled": qw [N/bn0, K/2, bn0]
+# so every weight grid block is ONE contiguous HBM run — the [K/2, N]
+# column-block slices DMA as K/2 strided bn-byte runs and measured only
+# ~0.43-0.52 of the stream floor at Falcon decode shapes; contiguous tile
+# blocks stream at ~0.87-0.91 in isolation, ~+6% on the full modeled step).
+# Bodies are identical to the kn kernels — only the qw ref gains a leading
+# tile axis.
+# ---------------------------------------------------------------------------
+
+
+def _int4_kernel_kres_tiled(xl_ref, xh_ref, qw_ref, scale_ref, o_ref, *, gpb: int):
+    g2 = gpb // 2
+    o_ref[:] = _halves_group_dot(
+        xl_ref[:], xh_ref[:], qw_ref[0],
+        scale_ref[pl.ds(0, g2), :], scale_ref[pl.ds(g2, g2), :],
+        xl_ref.dtype,
+    )
+
+
+def _int4_kernel_ksplit_tiled(xl_ref, xh_ref, qw_ref, sclo_ref, schi_ref, o_ref, acc_ref, *, nk: int, gpb: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += _halves_group_dot(
+        xl_ref[:], xh_ref[:], qw_ref[0], sclo_ref[:], schi_ref[:], xl_ref.dtype
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:]
+
+
+def _plan_tiled(m: int, K: int, bn: int) -> tuple[bool, int, int]:
+    """(resident, bm, bk) for the tiled int4 layout — bn is fixed by the
+    tile width, so the plan only picks the k-chunking and row block."""
+    bm_cap = 16
+    while bm_cap < m and bm_cap < 256:
+        bm_cap *= 2
+    cands: list[tuple[bool, int]] = []
+    if K <= K_RESIDENT:
+        cands.append((True, K))
+    for bk in (8192, 6144, 4096, 2048):
+        if bk < K and K % bk == 0:
+            cands.append((False, bk))
+    cands.sort(key=lambda c: c[1], reverse=True)
+    for resident, bk in cands:
+        bm = bm_cap
+        while bm >= 16:
+            if _vmem_cost(bm, bn, bk, True, not resident) <= VMEM_BUDGET:
+                return resident, bm, bk
+            bm //= 2
+    return (True, 16, K) if K <= K_RESIDENT else (False, 16, 2048)
+
+
+def _quant_matmul_int4_tiled(x: jnp.ndarray, p: QuantLinear) -> jnp.ndarray:
+    T, K2, bn = p.qw.shape
+    K = K2 * 2
+    N = T * bn
+    M = x.shape[0]
+    resident, bm, bk = _plan_tiled(M, K, bn)
+    xp = _pad_rows(x, bm)
+    if K != x.shape[1]:
+        xp = jnp.pad(xp, ((0, 0), (0, K - x.shape[1])))
+    Mp = xp.shape[0]
+    scale2d = p.scale
+    g = scale2d.shape[0]
+
+    if resident:
+        y = pl.pallas_call(
+            functools.partial(_int4_kernel_kres_tiled, gpb=g),
+            grid=(Mp // bm, T),
+            in_specs=[
+                pl.BlockSpec((bm, K // 2), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, K // 2), lambda i, j: (i, 1), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K // 2, bn), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            cost_estimate=_common(Mp, N, K, p.mode),
+            interpret=_INTERPRET,
+        )(xp, xp, p.qw, scale2d)
+    else:
+        BK = bk
+        nk = K // BK
+        gpb = BK // INT4_GROUP_SIZE
+        y = pl.pallas_call(
+            functools.partial(_int4_kernel_ksplit_tiled, nk=nk, gpb=gpb),
+            grid=(Mp // bm, T, nk),
+            in_specs=[
+                pl.BlockSpec((bm, BK // 2), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, BK // 2), lambda i, j, k, nk=nk: (i, nk + k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BK // 2, bn), lambda i, j, k: (j, k, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((gpb // 2, bn), lambda i, j, k: (k, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((gpb // 2, bn), lambda i, j, k, nk=nk: (nk + k, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=_common(Mp, N, K, p.mode),
+            interpret=_INTERPRET,
+        )(xp, xp, p.qw, scale2d, scale2d)
+    return y[:M, : p.n_out]
+
+
+# ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
 
@@ -223,6 +344,8 @@ def quant_matmul(x: jnp.ndarray, p: QuantLinear) -> jnp.ndarray:
     """x [M, n_in] -> [M, n_out] fp32."""
     M = x.shape[0]
     is4 = p.mode == "int4"
+    if is4 and getattr(p, "layout", "kn") == "tiled":
+        return _quant_matmul_int4_tiled(x, p)
     K = p.qw.shape[0] * (2 if is4 else 1)
     N = p.qw.shape[1]
     kbytes = K if not is4 else K // 2

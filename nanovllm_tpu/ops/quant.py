@@ -59,24 +59,36 @@ class QuantLinear:
     mode == "int8": qw int8 [K_pad, N_pad], scale f32 [N_pad] (per-channel)
     mode == "int4": qw int8 [K_pad//2, N_pad] (2 nibbles/byte along K),
                     scale f32 [K_pad/group, N_pad] (per-group)
+
+    layout == "tiled" (int4, single-chip decode): qw is permuted to
+    [N_pad/bn0, K_pad//2, bn0] so each kernel grid block is ONE contiguous
+    HBM run (the [K/2, N] column-block slices DMA as thousands of bn-byte
+    strided runs; measured ~6% faster modeled decode step on v5e, r4).
+    Structural transforms (fusion, TP sharding, shard streaming) require
+    "kn"; tiling is applied last, by the runner (tile_int4).
     """
 
-    def __init__(self, qw, scale, b, mode: str, n_in: int, n_out: int):
+    layout = "kn"  # class default: instances unpickled from old caches
+
+    def __init__(self, qw, scale, b, mode: str, n_in: int, n_out: int,
+                 layout: str = "kn"):
         self.qw = qw
         self.scale = scale
         self.b = b
         self.mode = mode
         self.n_in = n_in
         self.n_out = n_out
+        self.layout = layout
 
     def tree_flatten(self):
-        return (self.qw, self.scale, self.b), (self.mode, self.n_in, self.n_out)
+        return (self.qw, self.scale, self.b), (self.mode, self.n_in, self.n_out, self.layout)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         qw, scale, b = children
-        mode, n_in, n_out = aux
-        return cls(qw, scale, b, mode, n_in, n_out)
+        mode, n_in, n_out = aux[0], aux[1], aux[2]
+        layout = aux[3] if len(aux) > 3 else "kn"
+        return cls(qw, scale, b, mode, n_in, n_out, layout)
 
     @classmethod
     def from_dense(cls, w: np.ndarray, b, mode: str) -> "QuantLinear":
@@ -101,11 +113,36 @@ class QuantLinear:
         return cls(qw, scale, b, mode, n_in, n_out)
 
     def dequantize(self, dtype=jnp.float32) -> jnp.ndarray:
+        qw = self.qw
+        if getattr(self, "layout", "kn") == "tiled":
+            T, K2, bn0 = qw.shape
+            qw = jnp.transpose(qw, (1, 0, 2)).reshape(K2, T * bn0)
         if self.mode == "int8":
-            w = dequantize_int8(self.qw, self.scale, dtype)
+            w = dequantize_int8(qw, self.scale, dtype)
         else:
-            w = dequantize_int4(self.qw, self.scale, self.qw.shape[0] * 2, dtype)
+            w = dequantize_int4(qw, self.scale, qw.shape[0] * 2, dtype)
         return w[: self.n_in, : self.n_out]
+
+
+def tile_int4(p: QuantLinear) -> QuantLinear:
+    """[K/2, N] -> [N/bn0, K/2, bn0] tile permutation (contiguous grid-block
+    DMAs). Widest 128-multiple tile that divides N — fewer, bigger grid
+    steps win at decode (the fixed ~0.5us/step bookkeeping is the dominant
+    non-DMA cost); prefill trades bm down to fit VMEM (quant_matmul
+    _plan_tiled). No-op for int8 / already-tiled / widths with no divisor."""
+    if p.mode != "int4" or getattr(p, "layout", "kn") != "kn":
+        return p
+    K2, N = p.qw.shape
+    bn0 = next((b for b in (512, 256, 128) if N % b == 0), None)
+    if bn0 is None:
+        return p
+    if isinstance(p.qw, np.ndarray):
+        qw3 = np.ascontiguousarray(
+            np.asarray(p.qw).reshape(K2, N // bn0, bn0).transpose(1, 0, 2)
+        )
+    else:
+        qw3 = jnp.transpose(jnp.reshape(p.qw, (K2, N // bn0, bn0)), (1, 0, 2))
+    return QuantLinear(qw3, p.scale, p.b, "int4", p.n_in, p.n_out, layout="tiled")
 
 
 def quantize_int8(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

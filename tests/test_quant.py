@@ -95,3 +95,41 @@ def test_pallas_ksplit_interpret_matches_fallback(mode, monkeypatch):
         set_use_pallas(None)
         pk.set_interpret(False)
     np.testing.assert_allclose(y_k, y_ref, rtol=2e-2, atol=2e-2)
+
+
+def test_tiled_layout_dequantize_roundtrip():
+    rng = np.random.default_rng(13)
+    w = (rng.standard_normal((512, 768)) * 0.1).astype(np.float32)
+    ql = Q.QuantLinear.from_dense(w, None, "int4")
+    qt = Q.tile_int4(ql)
+    assert qt.layout == "tiled" and qt.qw.ndim == 3
+    np.testing.assert_array_equal(
+        np.asarray(qt.dequantize()), np.asarray(ql.dequantize())
+    )
+    # int8 and double-tiling are no-ops.
+    q8 = Q.QuantLinear.from_dense(w, None, "int8")
+    assert Q.tile_int4(q8) is q8
+    assert Q.tile_int4(qt) is qt
+
+
+@pytest.mark.parametrize("K", [256, 4096])
+def test_pallas_tiled_kernel_interpret_matches_kn(K, monkeypatch):
+    """The tiled-layout kernels (resident K=256 and k-split K=4096) must be
+    bit-identical to the kn kernels — same dots, same scale application,
+    only the HBM block layout differs."""
+    from nanovllm_tpu.ops.pallas import quant_matmul as pk
+
+    if K > 256:
+        monkeypatch.setattr(pk, "K_RESIDENT", 128)
+    rng = np.random.default_rng(17)
+    w = (rng.standard_normal((K, 768)) * 0.1).astype(np.float32)
+    x = jnp.asarray((rng.standard_normal((24, K)) * 0.5).astype(np.float32))
+    ql = Q.QuantLinear.from_dense(w, None, "int4")
+    qt = Q.tile_int4(ql)
+    pk.set_interpret(True)
+    try:
+        y_kn = np.asarray(pk.quant_matmul(x, ql))
+        y_t = np.asarray(pk.quant_matmul(x, qt))
+    finally:
+        pk.set_interpret(False)
+    np.testing.assert_array_equal(y_t, y_kn)
