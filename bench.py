@@ -59,6 +59,10 @@ def main():
         # Identical prompts in warmup+timed rounds: disable prefix caching so
         # the timed prefill measures real compute.
         enable_prefix_caching=False,
+        # One prefill program regardless of group size: the tunneled chip's
+        # executable cache is tiny and reloads an evicted program in 15-30s,
+        # so the serving phase must reuse the closed-round programs exactly.
+        prefill_fixed_groups=True,
     )
     llm = LLM(model_config=cfg, engine_config=ecfg, params=params)
     eng = llm.engine
@@ -99,21 +103,27 @@ def main():
     log(f"decode:  {m['decode_tokens']} tok in {m['decode_time']:.2f}s = {decode_tok_s:.1f} tok/s")
 
     # Serving phase: staggered (Poisson) arrivals at ~40% of the measured
-    # decode capacity, same (already-compiled) prompt/decode shapes, p50/p99
-    # TTFT from per-request arrival->first-token (engine RequestOutput.ttft_s).
-    n_req = 2 * B
+    # decode capacity, p50/p99 TTFT from per-request arrival->first-token
+    # (engine RequestOutput.ttft_s). Deadline-guarded: a degraded remote
+    # compile service must never stall the driver's bench — on timeout the
+    # pass drains cleanly and the TTFT keys go null.
+    n_req = B
     cap_req_s = max(decode_tok_s / DECODE, 1.0)
     rate = float(os.environ.get("NANOVLLM_BENCH_ARRIVAL_RATE", 0.4 * cap_req_s))
     arrivals = np.cumsum(rng.exponential(1.0 / rate, size=n_req))
     log(f"serving phase: {n_req} requests, Poisson rate {rate:.1f} req/s...")
 
-    def serving_pass():
+    def serving_pass(deadline_s):
         ttfts: list[float] = []
         t_start = time.perf_counter()
         sent = 0
         done = 0
-        while done < n_req:
+        timed_out = False
+        while done < sent or sent < n_req:
             now = time.perf_counter() - t_start
+            if now > deadline_s:
+                timed_out = True
+                break
             while sent < n_req and arrivals[sent] <= now:
                 eng.add_request(prompts[sent % B], sp)
                 sent += 1
@@ -124,19 +134,28 @@ def main():
                 done += 1
                 if out.ttft_s is not None:
                     ttfts.append(out.ttft_s)
-        return ttfts, time.perf_counter() - t_start
+        if timed_out:
+            log(f"serving pass hit the {deadline_s:.0f}s deadline "
+                f"({done}/{sent} sent requests finished); draining...")
+            while not eng.is_finished():
+                eng.step()
+        return ttfts, time.perf_counter() - t_start, timed_out
 
-    # Staggered arrivals hit small prefill-group buckets (Nb=1,2,4,...) the
-    # closed-batch warmup never compiled; run the phase once untimed so the
-    # timed pass measures serving latency, not compiles.
-    serving_pass()
-    ttfts, wall = serving_pass()
-    p50 = percentile(ttfts, 50) * 1e3
-    p99 = percentile(ttfts, 99) * 1e3
-    log(
-        f"serving: {n_req} reqs in {wall:.1f}s ({n_req/wall:.1f} req/s), "
-        f"TTFT p50={p50:.1f}ms p99={p99:.1f}ms"
-    )
+    # prefill_fixed_groups pins every prefill dispatch and the sampling
+    # batch to ONE shape each, so the serving pass reuses exactly the
+    # closed-round programs — no extra warmup, and no 15-30s program
+    # reloads on the tunneled chip's tiny executable cache.
+    ttfts, wall, timed_out = serving_pass(120.0)
+    if ttfts and not timed_out:
+        p50 = percentile(ttfts, 50) * 1e3
+        p99 = percentile(ttfts, 99) * 1e3
+        log(
+            f"serving: {n_req} reqs in {wall:.1f}s ({n_req/wall:.1f} req/s), "
+            f"TTFT p50={p50:.1f}ms p99={p99:.1f}ms"
+        )
+    else:
+        p50 = p99 = None
+        log("serving phase incomplete; TTFT not reported")
 
     baseline = 1.7  # reference Llama-3.2-1B decode tok/s on CPU
     print(
@@ -146,8 +165,8 @@ def main():
                 "value": round(decode_tok_s, 2),
                 "unit": "tok/s",
                 "vs_baseline": round(decode_tok_s / baseline, 2),
-                "p50_ttft_ms": round(p50, 1),
-                "p99_ttft_ms": round(p99, 1),
+                "p50_ttft_ms": None if p50 is None else round(p50, 1),
+                "p99_ttft_ms": None if p99 is None else round(p99, 1),
                 "serving_arrival_rate_req_s": round(rate, 1),
                 "prefill_tok_s": round(prefill_tok_s, 1),
             }

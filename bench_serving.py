@@ -56,14 +56,20 @@ def build_trace(shape_rng, content_seed, n_req, vocab):
     return trace
 
 
-def run_trace(eng, trace, arrivals, sp_for):
-    """Drive the engine against timestamped arrivals; returns (ttfts, wall)."""
+def run_trace(eng, trace, arrivals, sp_for, deadline_s=1800.0):
+    """Drive the engine against timestamped arrivals; returns (ttfts, wall).
+    Deadline-guarded: on timeout, stop admitting, drain, return partials."""
     n_req = len(trace)
     ttfts = []
     t_start = time.perf_counter()
     sent = done = 0
-    while done < n_req:
+    while done < sent or sent < n_req:
         now = time.perf_counter() - t_start
+        if now > deadline_s:
+            log(f"run_trace deadline ({deadline_s:.0f}s) hit at {done}/{sent}; draining")
+            while not eng.is_finished():
+                eng.step()
+            break
         while sent < n_req and arrivals[sent] <= now:
             prompt, max_toks = trace[sent]
             eng.add_request(prompt, sp_for(max_toks))
@@ -107,6 +113,9 @@ def main():
         quantization="int8",
         decode_burst=BURST,
         enable_prefix_caching=True,
+        # One prefill program per prompt-length bucket (see bench.py note on
+        # the tunneled chip's executable-cache thrash).
+        prefill_fixed_groups=True,
     )
     llm = LLM(model_config=cfg, engine_config=ecfg, params=params)
     eng = llm.engine
@@ -128,14 +137,8 @@ def main():
     rate = float(os.environ.get("SERVING_RATE", 0.4 * cap_req_s))
     arrivals = np.cumsum(rng.exponential(1.0 / rate, size=N))
 
-    # Untimed pass 2 (staggered): trickled arrivals hit SMALL prefill-group
-    # buckets (Nb=1,2,4,...) pass 1 never compiled — compile them now so the
-    # timed pass measures serving latency, not compiles.
-    log("warmup pass 2/2 (staggered, compiling small buckets)...")
-    t0 = time.time()
-    run_trace(eng, build_trace(np.random.default_rng(1), 200, N, cfg.vocab_size),
-              arrivals, sp_for)
-    log(f"pass 2 done in {time.time()-t0:.1f}s")
+    # prefill_fixed_groups pins one prefill program per length bucket, all
+    # compiled by pass 1 — nothing left to warm.
 
     for k in eng.metrics:
         eng.metrics[k] = 0.0 if isinstance(eng.metrics[k], float) else 0

@@ -308,6 +308,14 @@ class EngineConfig:
     # (Mamba2) models — their prefill scan cannot resume mid-prompt — the
     # LLM facade zeroes it there, like enable_prefix_caching.
     prefill_chunk_tokens: int = 0
+    # Pad every batched-prefill dispatch (and the prefill sampling batch) to
+    # ONE fixed shape per (Tb, nb) bucket instead of power-of-two batch
+    # buckets. Costs padded compute on small groups but collapses the
+    # serving-path program count — decisive when the device's executable
+    # cache is small (the tunneled dev chip reloads an evicted program in
+    # 15-30 s(!); measured r4, docs/PERFORMANCE.md serving notes). Off by
+    # default: direct-attached TPUs switch programs cheaply.
+    prefill_fixed_groups: bool = False
 
     def __post_init__(self):
         if self.kv_block_size % 16 != 0:

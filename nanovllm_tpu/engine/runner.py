@@ -567,10 +567,13 @@ class TPUModelRunner:
             self._prefill_cache[key] = jax.jit(fn, donate_argnums=(7, 8))
         return self._prefill_cache[key]
 
-    def _prefill_group(self, seqs: list[Sequence], Tb: int, nb: int) -> list[jnp.ndarray]:
-        """One batched-prefill dispatch for same-bucket sequences."""
+    def _prefill_group(
+        self, seqs: list[Sequence], Tb: int, nb: int, nb_force: int = 0
+    ) -> list[jnp.ndarray]:
+        """One batched-prefill dispatch for same-bucket sequences. `nb_force`
+        pins the batch dim (prefill_fixed_groups: one program per (Tb, nb))."""
         n = len(seqs)
-        Nb = bucket_length(n, 1, max(n, 1))
+        Nb = nb_force if nb_force else bucket_length(n, 1, max(n, 1))
         tokens = np.zeros((Nb, Tb), np.int32)
         positions = np.zeros((Nb, Tb), np.int32)
         valid_lens = np.ones((Nb,), np.int32)
@@ -609,7 +612,7 @@ class TPUModelRunner:
         )
         if self.mamba_state is not None:
             self.mamba_state = new_mamba
-        return [logits[i] for i in range(n)]
+        return logits  # [Nb, V] padded; rows [0, n) are the real sequences
 
     # ---- prefill ---------------------------------------------------------
 
@@ -694,14 +697,26 @@ class TPUModelRunner:
             self.mamba_state = new_mamba
         return logits
 
+    def _state_batch(self, n: int) -> int:
+        """Batch dim for the small host->device state-update programs
+        (history/sampling-row scatters). Under prefill_fixed_groups these
+        pad to the full slot count so ONE program serves every group size —
+        per-n variants thrash small executable caches (docs/PERFORMANCE.md
+        r4 serving notes); padding rows carry an OOB index and drop."""
+        if self.ecfg.prefill_fixed_groups:
+            return self.S
+        return n
+
     def _setup_slots(self, seqs: list[Sequence]) -> None:
         """One batched device update for every admitted sequence's sampling
         row + history (was per-sequence: N small dispatches per prefill)."""
         if not seqs:
             return
-        idx = np.array([s.slot for s in seqs], np.int32)
+        nb = self._state_batch(len(seqs))
+        idx = np.full((nb,), self.S, np.int32)  # pad rows -> OOB, dropped
+        idx[: len(seqs)] = [s.slot for s in seqs]
         Lh = self.history.shape[1]
-        rows = np.full((len(seqs), Lh), self.mcfg.vocab_size, np.int32)
+        rows = np.full((nb, Lh), self.mcfg.vocab_size, np.int32)
         for i, seq in enumerate(seqs):
             s = seq.slot
             sp = seq.sampling_params
@@ -715,15 +730,16 @@ class TPUModelRunner:
             self.h_hist_lens[s] = len(seq)
             rows[i, : len(seq)] = seq.token_ids
         di = self._dev(idx)
-        self.history = self.history.at[di].set(self._dev(rows))
+        ig = np.minimum(idx, self.S - 1)  # value gather for pad rows (dropped)
+        self.history = self.history.at[di].set(self._dev(rows), mode="drop")
         d = self.d_sampling
         self.d_sampling = {
-            "temps": d["temps"].at[di].set(self._dev(self.h_temps[idx])),
-            "topks": d["topks"].at[di].set(self._dev(self.h_topks[idx])),
-            "topps": d["topps"].at[di].set(self._dev(self.h_topps[idx])),
-            "reps": d["reps"].at[di].set(self._dev(self.h_reps[idx])),
-            "seeds": d["seeds"].at[di].set(self._dev(self.h_seeds[idx])),
-            "hist_lens": d["hist_lens"].at[di].set(self._dev(self.h_hist_lens[idx])),
+            "temps": d["temps"].at[di].set(self._dev(self.h_temps[ig]), mode="drop"),
+            "topks": d["topks"].at[di].set(self._dev(self.h_topks[ig]), mode="drop"),
+            "topps": d["topps"].at[di].set(self._dev(self.h_topps[ig]), mode="drop"),
+            "reps": d["reps"].at[di].set(self._dev(self.h_reps[ig]), mode="drop"),
+            "seeds": d["seeds"].at[di].set(self._dev(self.h_seeds[ig]), mode="drop"),
+            "hist_lens": d["hist_lens"].at[di].set(self._dev(self.h_hist_lens[ig]), mode="drop"),
         }
 
     # ---- public API ------------------------------------------------------
@@ -738,7 +754,9 @@ class TPUModelRunner:
 
     def _run_prefill(self, seqs: list[Sequence]) -> list[list[int]]:
         self._setup_slots(seqs)
-        logits_by_seq: dict[int, jnp.ndarray] = {}
+        fixed = self.ecfg.prefill_fixed_groups
+        sampled: dict[int, int] = {}
+        logits_by_seq: dict[int, jnp.ndarray] = {}  # loose [V] rows
         cp_ids = set()
         for seq in seqs:
             if self._cp_applies(seq):
@@ -765,34 +783,67 @@ class TPUModelRunner:
                 groups.setdefault((Tb, nb), []).append(seq)
             for (Tb, nb), group in groups.items():
                 per_call = max(1, self.PREFILL_GROUP_TOKEN_BUDGET // Tb)
+                nb_force = 0
+                if fixed:
+                    # One program per (Tb, nb): every dispatch padded to the
+                    # same batch dim (the largest a dispatch can carry).
+                    cap = min(self.ecfg.max_num_seqs, self.S)
+                    nb_force = bucket_length(min(per_call, cap), 1, per_call)
                 for i in range(0, len(group), per_call):
                     sub = group[i : i + per_call]
-                    rows = self._prefill_group(sub, Tb, nb)
-                    for seq, row in zip(sub, rows):
-                        logits_by_seq[seq.seq_id] = row
-        # Sample only sequences whose chunk completed their prompt; a
-        # mid-prefill chunk returns an empty burst (its last-row logits are
-        # meaningless until the final chunk).
-        final_seqs = [s for s in seqs if _is_final_chunk(s)]
-        if not final_seqs:
-            return [[] for _ in seqs]
-        logits_rows = [logits_by_seq[s.seq_id] for s in final_seqs]
-        n = len(final_seqs)
-        nb_batch = bucket_length(n, 1, max(self.S, n))
-        logits = jnp.stack(logits_rows)
-        if nb_batch > n:
-            logits = jnp.pad(logits, ((0, nb_batch - n), (0, 0)))
-        slots = np.array([s.slot for s in final_seqs] + [0] * (nb_batch - n), np.int32)
-        tokens = self._sample_for(logits, slots)
-        sampled = {s.seq_id: int(t) for s, t in zip(final_seqs, tokens[:n])}
-        self._append_history(final_seqs, [sampled[s.seq_id] for s in final_seqs])
+                    glogits = self._prefill_group(sub, Tb, nb, nb_force)
+                    if fixed:
+                        # Sample the padded group DIRECTLY: one sampling
+                        # program per group shape, no per-n stack/pad
+                        # programs (executable-cache control; mid-chunk
+                        # rows sample too but their token is discarded).
+                        Nb = glogits.shape[0]
+                        slots = np.zeros((Nb,), np.int32)
+                        slots[: len(sub)] = [s.slot for s in sub]
+                        toks = self._sample_for(glogits, slots)
+                        finals = [s for s in sub if _is_final_chunk(s)]
+                        for s, t in zip(sub, toks[: len(sub)]):
+                            if _is_final_chunk(s):
+                                sampled[s.seq_id] = int(t)
+                        self._append_history(
+                            finals, [sampled[s.seq_id] for s in finals]
+                        )
+                    else:
+                        for j, seq in enumerate(sub):
+                            logits_by_seq[seq.seq_id] = glogits[j]
+        # Loose rows (CP / mesh-hybrid / non-fixed groups): stack + sample.
+        # Only sequences whose chunk completed their prompt get a token; a
+        # mid-prefill chunk returns an empty burst.
+        final_loose = [
+            s for s in seqs if _is_final_chunk(s) and s.seq_id in logits_by_seq
+        ]
+        if final_loose:
+            n = len(final_loose)
+            nb_batch = bucket_length(n, 1, max(self.S, n))
+            logits = jnp.stack([logits_by_seq[s.seq_id] for s in final_loose])
+            if nb_batch > n:
+                logits = jnp.pad(logits, ((0, nb_batch - n), (0, 0)))
+            slots = np.array(
+                [s.slot for s in final_loose] + [0] * (nb_batch - n), np.int32
+            )
+            tokens = self._sample_for(logits, slots)
+            for s, t in zip(final_loose, tokens[:n]):
+                sampled[s.seq_id] = int(t)
+            self._append_history(final_loose, [sampled[s.seq_id] for s in final_loose])
         return [[sampled[s.seq_id]] if s.seq_id in sampled else [] for s in seqs]
 
     def _sync_hist_lens_to_device(self, slots: list[int]) -> None:
         d = self.d_sampling
-        idx = self._dev(np.array(slots, np.int32))
-        vals = self._dev(self.h_hist_lens[slots])
-        self.d_sampling = {**d, "hist_lens": d["hist_lens"].at[idx].set(vals)}
+        nb = self._state_batch(len(slots))
+        idx = np.full((nb,), self.S, np.int32)
+        idx[: len(slots)] = slots
+        ig = np.minimum(idx, self.S - 1)
+        self.d_sampling = {
+            **d,
+            "hist_lens": d["hist_lens"].at[self._dev(idx)].set(
+                self._dev(self.h_hist_lens[ig]), mode="drop"
+            ),
+        }
 
     def _run_decode(self, seqs: list[Sequence]) -> list[list[int]]:
         S = self.S
@@ -865,10 +916,15 @@ class TPUModelRunner:
     def _append_history(self, seqs: list[Sequence], tokens: list[int]) -> None:
         if not seqs:
             return
-        slots = self._dev(np.array([s.slot for s in seqs], np.int32))
-        lens = self._dev(self.h_hist_lens[[s.slot for s in seqs]])
-        vals = self._dev(np.array(tokens, np.int32))
-        self.history = self.history.at[slots, lens].set(vals)
+        nb = self._state_batch(len(seqs))
+        idx = np.full((nb,), self.S, np.int32)
+        idx[: len(seqs)] = [s.slot for s in seqs]
+        ig = np.minimum(idx, self.S - 1)
+        vals_np = np.zeros((nb,), np.int32)
+        vals_np[: len(seqs)] = tokens
+        self.history = self.history.at[
+            self._dev(idx), self._dev(self.h_hist_lens[ig])
+        ].set(self._dev(vals_np), mode="drop")
         for s in seqs:
             self.h_hist_lens[s.slot] += 1
         self._sync_hist_lens_to_device([s.slot for s in seqs])

@@ -167,9 +167,9 @@ def test_hybrid_engine_concurrent_arrivals_share_dispatches():
     calls = {"group": 0, "one": 0}
     orig_group, orig_one = runner._prefill_group, runner._prefill_one
 
-    def spy_group(seqs, Tb, nb):
+    def spy_group(seqs, Tb, nb, nb_force=0):
         calls["group"] += 1
-        return orig_group(seqs, Tb, nb)
+        return orig_group(seqs, Tb, nb, nb_force)
 
     def spy_one(seq):
         calls["one"] += 1

@@ -239,3 +239,41 @@ def test_slot_reuse_resets_history():
     dirty = llm.generate([probe], sp)[0]
     fresh = make().generate([probe], sp)[0]
     assert dirty.token_ids == fresh.token_ids
+
+
+def test_prefill_fixed_groups_one_program_same_outputs():
+    """prefill_fixed_groups pads every prefill dispatch (and the sampling
+    batch) to one shape per (Tb, nb) bucket — serving-path program-count
+    control for devices with small executable caches (r4). Outputs must be
+    identical to the default bucketed path."""
+    cfg = tiny_cfg()
+    params = M.init_params(cfg, seed=41)
+    prompts = [[3 + i, 5, 7, 9 + i] for i in range(3)]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+
+    def run(fixed):
+        ecfg = EngineConfig(
+            max_num_batched_tokens=4096, max_num_seqs=4, max_model_len=128,
+            kv_block_size=BS, max_decode_slots=4, min_prefill_bucket=16,
+            num_kv_blocks=32, eos_token_id=0, prefill_fixed_groups=fixed,
+        )
+        from nanovllm_tpu.engine.runner import TPUModelRunner
+
+        runner = TPUModelRunner(cfg, ecfg, params=params)
+        llm = LLM(model_config=cfg, engine_config=ecfg, runner=runner)
+        outs = []
+        # Three rounds with different group sizes: 1, 2, 3 sequences.
+        for k in (1, 2, 3):
+            outs.extend(llm.generate(prompts[:k], sp))
+        return outs, runner
+
+    ref, r_ref = run(False)
+    got, r_fix = run(True)
+    for a, b in zip(ref, got):
+        assert a.token_ids == b.token_ids
+    # Fixed groups: exactly one batched-prefill program for the one
+    # (Tb, nb) bucket; the default path compiled one per batch bucket.
+    fix_keys = [k for k in r_fix._prefill_cache if k and k[0] == "batch"]
+    ref_keys = [k for k in r_ref._prefill_cache if k and k[0] == "batch"]
+    assert len({k[1] for k in fix_keys}) == 1, fix_keys  # one Nb
+    assert len({k[1] for k in ref_keys}) > 1, ref_keys

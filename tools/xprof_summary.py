@@ -49,10 +49,45 @@ def device_op_summary(xs, top_n: int = 40):
     return rows
 
 
+def op_class_summary(xs, top_n: int = 25):
+    """Aggregate device time by OP CLASS (fusion kinds collapsed,
+    closed_calls split by output shape) — the view that decomposed the
+    Falcon decode step in r4 (docs/PERFORMANCE.md)."""
+    import re
+
+    for plane in xs.planes:
+        if not ("TPU" in plane.name or plane.name.startswith("/device:")):
+            continue
+        meta = {m_id: m.name for m_id, m in plane.event_metadata.items()}
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            agg = defaultdict(lambda: [0, 0.0])
+            for ev in line.events:
+                name = meta.get(ev.metadata_id, "?")
+                m = re.match(r"%([a-zA-Z\-_]+)", name)
+                cls = m.group(1) if m else name[:30]
+                if cls == "closed_call":
+                    m2 = re.search(r"= (\S+?)\[([\d,]+)\]", name)
+                    cls = f"closed_call[{m2.group(2)}]" if m2 else cls
+                if cls == "while":
+                    continue  # inclusive of everything inside
+                agg[cls][0] += 1
+                agg[cls][1] += ev.duration_ps / 1e6
+            tot = sum(v[1] for v in agg.values())
+            print(f"== plane {plane.name}: {tot/1000:.1f}ms device time (excl. while)")
+            for cls, (n, us) in sorted(agg.items(), key=lambda kv: -kv[1][1])[:top_n]:
+                print(f"  {us/1000:8.2f}ms  n={n:6d}  {cls}")
+
+
 def main():
-    trace_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/nvtrace_falcon"
-    top_n = int(sys.argv[2]) if len(sys.argv) > 2 else 40
+    args = [a for a in sys.argv[1:] if a != "--by-class"]
+    trace_dir = args[0] if args else "/tmp/nvtrace_falcon"
+    top_n = int(args[1]) if len(args) > 1 else 40
     xs = load_xspace(trace_dir)
+    if "--by-class" in sys.argv:
+        op_class_summary(xs, top_n)
+        return
     for pname, line_names, agg in device_op_summary(xs):
         print(f"== plane: {pname} | lines: {line_names}")
         by_line = defaultdict(list)
