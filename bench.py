@@ -55,7 +55,10 @@ def main():
         min_prefill_bucket=128,
         eos_token_id=cfg.eos_token_ids[0],
         quantization="int8",
-        decode_burst=16,
+        # Burst 32 measured best in r4 (10,691 tok/s @16 -> 13,202 @32;
+        # 12,737 @64 — the longer burst's stash/pregather overhead outweighs
+        # the remaining tunnel amortization).
+        decode_burst=int(os.environ.get("NANOVLLM_BENCH_BURST", "32")),
         # Identical prompts in warmup+timed rounds: disable prefix caching so
         # the timed prefill measures real compute.
         enable_prefix_caching=False,

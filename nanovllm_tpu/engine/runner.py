@@ -127,12 +127,12 @@ class TPUModelRunner:
         self.ecfg = engine_cfg
         self.mesh = mesh
         self.params = params if params is not None else M.init_params(model_cfg)
-        if mesh is None and engine_cfg.quantization == "int4":
-            # Single-chip INT4: permute weights to the tiled HBM layout so
-            # every kernel grid block is one contiguous DMA run (~6% faster
-            # modeled decode step, ops/quant.py tile_int4). Must precede
-            # stack_blocks (the scan slices per-layer leaves of the stacked
-            # tiled arrays).
+        if mesh is None and engine_cfg.quantization in ("int4", "int8"):
+            # Single-chip quantized: permute weights to the tiled HBM layout
+            # so every kernel grid block is one contiguous DMA run (~6%
+            # faster modeled decode step, ops/quant.py tile_quant). Must
+            # precede stack_blocks (the scan slices per-layer leaves of the
+            # stacked tiled arrays).
             self.params = M.tile_quant_params(self.params)
         if engine_cfg.scan_layers and not model_cfg.is_hybrid and not params_global:
             # Layer-stacked params => scan-over-layers forward (compiles the

@@ -215,16 +215,16 @@ def to_device_params(params, cfg: ModelConfig, device: bool = True):
 
 
 def tile_quant_params(params):
-    """Permute every int4 QuantLinear to the tiled HBM layout
-    (ops/quant.tile_int4: contiguous kernel grid-block DMAs). Single-mesh
+    """Permute every int4/int8 QuantLinear to the tiled HBM layout
+    (ops/quant.tile_quant: contiguous kernel grid-block DMAs). Single-mesh
     only — structural transforms (TP sharding, shard streaming) require the
-    canonical [K/2, N] layout, so the runner applies this LAST, and only
+    canonical [Kq, N] layout, so the runner applies this LAST, and only
     when no mesh is in play."""
-    from nanovllm_tpu.ops.quant import QuantLinear, tile_int4
+    from nanovllm_tpu.ops.quant import QuantLinear, tile_quant
 
     def walk(node):
         if isinstance(node, QuantLinear):
-            return tile_int4(node)
+            return tile_quant(node)
         if isinstance(node, dict):
             return {k: walk(v) for k, v in node.items()}
         if isinstance(node, list):

@@ -248,26 +248,99 @@ def _int4_kernel_ksplit_tiled(xl_ref, xh_ref, qw_ref, sclo_ref, schi_ref, o_ref,
         o_ref[:] = acc_ref[:]
 
 
-def _plan_tiled(m: int, K: int, bn: int) -> tuple[bool, int, int]:
-    """(resident, bm, bk) for the tiled int4 layout — bn is fixed by the
-    tile width, so the plan only picks the k-chunking and row block."""
+def _plan_tiled(m: int, K: int, bn: int, is4: bool) -> tuple[bool, int, int]:
+    """(resident, bm, bk) for the tiled layout — bn is fixed by the tile
+    width, so the plan only picks the k-chunking and row block."""
     bm_cap = 16
     while bm_cap < m and bm_cap < 256:
         bm_cap *= 2
     cands: list[tuple[bool, int]] = []
     if K <= K_RESIDENT:
         cands.append((True, K))
-    for bk in (8192, 6144, 4096, 2048):
+    bks = (8192, 6144, 4096, 2048) if is4 else (8192, 6144, 4096, 2048, 1024, 512)
+    for bk in bks:
         if bk < K and K % bk == 0:
             cands.append((False, bk))
     cands.sort(key=lambda c: c[1], reverse=True)
     for resident, bk in cands:
         bm = bm_cap
         while bm >= 16:
-            if _vmem_cost(bm, bn, bk, True, not resident) <= VMEM_BUDGET:
+            if _vmem_cost(bm, bn, bk, is4, not resident) <= VMEM_BUDGET:
                 return resident, bm, bk
             bm //= 2
     return (True, 16, K) if K <= K_RESIDENT else (False, 16, 2048)
+
+
+def _int8_kernel_kres_tiled(x_ref, qw_ref, scale_ref, o_ref):
+    w = qw_ref[0].astype(x_ref.dtype)
+    acc = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+    o_ref[:] = acc * scale_ref[:].astype(jnp.float32)
+
+
+def _int8_kernel_ksplit_tiled(x_ref, qw_ref, scale_ref, o_ref, acc_ref, *, nk: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jnp.dot(
+        x_ref[:], qw_ref[0].astype(x_ref.dtype), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        o_ref[:] = acc_ref[:] * scale_ref[:].astype(jnp.float32)
+
+
+def _quant_matmul_int8_tiled(x: jnp.ndarray, p: QuantLinear) -> jnp.ndarray:
+    T, K, bn = p.qw.shape
+    N = T * bn
+    M = x.shape[0]
+    resident, bm, bk = _plan_tiled(M, K, bn, False)
+    xp = _pad_rows(x, bm)
+    if K != x.shape[1]:
+        xp = jnp.pad(xp, ((0, 0), (0, K - x.shape[1])))
+    Mp = xp.shape[0]
+    scale2d = p.scale.reshape(1, -1)
+    if resident:
+        y = pl.pallas_call(
+            _int8_kernel_kres_tiled,
+            grid=(Mp // bm, T),
+            in_specs=[
+                pl.BlockSpec((bm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, bn), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+            ),
+            cost_estimate=_common(Mp, N, K, p.mode),
+            interpret=_INTERPRET,
+        )(xp, p.qw, scale2d)
+    else:
+        BK = bk
+        nk = K // BK
+        y = pl.pallas_call(
+            functools.partial(_int8_kernel_ksplit_tiled, nk=nk),
+            grid=(Mp // bm, T, nk),
+            in_specs=[
+                pl.BlockSpec((bm, BK), lambda i, j, k: (i, k), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BK, bn), lambda i, j, k: (j, k, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j, k: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary"),
+            ),
+            cost_estimate=_common(Mp, N, K, p.mode),
+            interpret=_INTERPRET,
+        )(xp, p.qw, scale2d)
+    return y[:M, : p.n_out]
 
 
 def _quant_matmul_int4_tiled(x: jnp.ndarray, p: QuantLinear) -> jnp.ndarray:
@@ -275,7 +348,7 @@ def _quant_matmul_int4_tiled(x: jnp.ndarray, p: QuantLinear) -> jnp.ndarray:
     K = K2 * 2
     N = T * bn
     M = x.shape[0]
-    resident, bm, bk = _plan_tiled(M, K, bn)
+    resident, bm, bk = _plan_tiled(M, K, bn, True)
     xp = _pad_rows(x, bm)
     if K != x.shape[1]:
         xp = jnp.pad(xp, ((0, 0), (0, K - x.shape[1])))
@@ -344,8 +417,8 @@ def quant_matmul(x: jnp.ndarray, p: QuantLinear) -> jnp.ndarray:
     """x [M, n_in] -> [M, n_out] fp32."""
     M = x.shape[0]
     is4 = p.mode == "int4"
-    if is4 and getattr(p, "layout", "kn") == "tiled":
-        return _quant_matmul_int4_tiled(x, p)
+    if getattr(p, "layout", "kn") == "tiled":
+        return (_quant_matmul_int4_tiled if is4 else _quant_matmul_int8_tiled)(x, p)
     K = p.qw.shape[0] * (2 if is4 else 1)
     N = p.qw.shape[1]
     kbytes = K if not is4 else K // 2

@@ -106,14 +106,19 @@ def test_tiled_layout_dequantize_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(qt.dequantize()), np.asarray(ql.dequantize())
     )
-    # int8 and double-tiling are no-ops.
+    # int8 tiles too (r4); double-tiling is a no-op.
     q8 = Q.QuantLinear.from_dense(w, None, "int8")
-    assert Q.tile_int4(q8) is q8
-    assert Q.tile_int4(qt) is qt
+    q8t = Q.tile_quant(q8)
+    assert q8t.layout == "tiled" and q8t.qw.ndim == 3
+    np.testing.assert_array_equal(
+        np.asarray(q8t.dequantize()), np.asarray(q8.dequantize())
+    )
+    assert Q.tile_quant(qt) is qt
 
 
+@pytest.mark.parametrize("mode", ["int4", "int8"])
 @pytest.mark.parametrize("K", [256, 4096])
-def test_pallas_tiled_kernel_interpret_matches_kn(K, monkeypatch):
+def test_pallas_tiled_kernel_interpret_matches_kn(K, mode, monkeypatch):
     """The tiled-layout kernels (resident K=256 and k-split K=4096) must be
     bit-identical to the kn kernels — same dots, same scale application,
     only the HBM block layout differs."""
@@ -124,8 +129,8 @@ def test_pallas_tiled_kernel_interpret_matches_kn(K, monkeypatch):
     rng = np.random.default_rng(17)
     w = (rng.standard_normal((K, 768)) * 0.1).astype(np.float32)
     x = jnp.asarray((rng.standard_normal((24, K)) * 0.5).astype(np.float32))
-    ql = Q.QuantLinear.from_dense(w, None, "int4")
-    qt = Q.tile_int4(ql)
+    ql = Q.QuantLinear.from_dense(w, None, mode)
+    qt = Q.tile_quant(ql)
     pk.set_interpret(True)
     try:
         y_kn = np.asarray(pk.quant_matmul(x, ql))
