@@ -227,16 +227,24 @@ class Scheduler:
                 # Aborted while the device step was in flight: its blocks and
                 # slot are already released — discard the burst entirely.
                 continue
+            mid_prefill = False
             if seq.prefill_target is not None and seq.num_prefilled_tokens < seq.prefill_target:
                 # A prefill chunk just ran on device: advance progress; on
-                # the final chunk the prompt's KV is complete (cache hits on
-                # its blocks become safe) and the sequence joins decode.
+                # the final chunk the sequence's whole token range has KV
+                # (cache hits on its blocks become safe) and it joins decode.
+                # The completion test must match the runner's _is_final_chunk
+                # (prefill_target >= len(seq)): a preempted-then-readmitted
+                # sequence has len(seq) > num_prompt_tokens, and promoting on
+                # prompt coverage alone would enter decode with KV for
+                # [chunk_end, len) never written.
                 seq.num_prefilled_tokens = seq.prefill_target
-                if seq.num_prefilled_tokens >= seq.num_prompt_tokens:
+                if seq.num_prefilled_tokens >= len(seq):
                     self.block_manager.mark_computed(seq)
                     if seq in self.prefilling:
                         self.prefilling.remove(seq)
                         self.running.append(seq)
+                else:
+                    mid_prefill = True
             sp = seq.sampling_params
             stop_ids = set(sp.stop_token_ids) | self.eos_token_ids
             for token_id in burst:
@@ -252,7 +260,11 @@ class Scheduler:
                     break
             self.block_manager.seal_full_blocks(seq)
             if seq.finish_reason is None:
-                if self.sliding_window:
+                # Window recycling must wait for the chunk train to finish:
+                # mid-prefill, blocks in [num_prefilled, len-window) hold KV
+                # that later chunks still need to WRITE — freeing them would
+                # point the next chunk's scatter at the placeholder block 0.
+                if self.sliding_window and not mid_prefill:
                     self.block_manager.release_behind_window(seq, self.sliding_window)
                 continue
             seq.status = SequenceStatus.FINISHED

@@ -198,11 +198,23 @@ def paged_attention_decode(
     quantized = k_scale_l is not None
     import os
 
-    npg = (
-        pages_per_iter
-        or int(os.environ.get("NANOVLLM_PAGED_NPG", "0"))
-        or min(4, nb)
-    )
+    npg = pages_per_iter or int(os.environ.get("NANOVLLM_PAGED_NPG", "0"))
+    if not npg:
+        # Auto default min(4, nb), shape-aware: the double-buffered K/V (and
+        # scale) scratch grows linearly with npg, so large block_size/head
+        # configs that fit at npg=1 must not fail to compile (or spill) at 4.
+        # Shrink until the total scratch estimate fits a conservative VMEM
+        # budget; npg=1 is the pre-batching kernel and always allowed.
+        VMEM_BUDGET = 12 << 20
+        fixed = (Hkv * Gp) * (Hkv * D) * 4 * 2      # acc + out block (f32)
+        fixed += 2 * (Hkv * Gp) * 128 * 4            # m_i + l_i
+        fixed += (Hkv * Gp) * (Hkv * D) * q.dtype.itemsize  # q block
+        per_page = 2 * 2 * block_size * Hkv * D * k_pool_l.dtype.itemsize
+        if quantized:
+            per_page += 2 * 2 * Hkv * block_size * 4
+        npg = min(4, nb)
+        while npg > 1 and fixed + npg * per_page > VMEM_BUDGET:
+            npg -= 1
     npg = min(npg, nb)
 
     # Build block-diagonal queries [B, Hkv*Gp, Hkv*D].

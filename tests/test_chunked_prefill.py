@@ -161,3 +161,40 @@ def test_same_step_duplicate_prompt_does_not_hit_pending_blocks():
     out3 = llm2.generate([prompt], sp)[0]
     assert out3.num_cached_tokens >= 2 * BS
     assert out3.token_ids == seq_ref.token_ids
+
+
+def test_preempted_readmitted_chunk_train_completes_before_decode():
+    """A preempted-then-readmitted sequence has len(seq) > num_prompt_tokens;
+    its chunk train must cover the WHOLE token range (prompt + prior
+    completions) before it rejoins decode — promoting on prompt coverage
+    alone would decode against KV never written (ADVICE r4 high #2)."""
+    prompt = list(range(1, 41))
+    sp = SamplingParams(max_tokens=40, ignore_eos=True)
+    ref = make_mock_engine(chunk=32, enable_prefix_caching=False).generate(
+        [prompt], sp
+    )[0]
+
+    eng = make_mock_engine(chunk=32, enable_prefix_caching=False)
+    sid = eng.add_request(prompt, sp)
+    outs = []
+    while eng._seqs[sid].num_completion_tokens < 30:
+        outs.extend(eng.step())
+    sch = eng.scheduler
+    seq = eng._seqs[sid]
+    sch.running.remove(seq)
+    sch._preempt(seq)  # back to waiting; chunk progress reset
+    assert seq.num_prefilled_tokens == 0 and len(seq) == 70
+
+    eng.step()  # readmit: chunk [0, 32)
+    assert seq in sch.prefilling and seq.num_prefilled_tokens == 32
+    eng.step()  # chunk [32, 64): past num_prompt_tokens=40 but NOT len=70 —
+    # the sequence must stay mid-train (the pre-fix bug promoted it here).
+    assert seq in sch.prefilling, "promoted to decode with unwritten KV"
+    assert seq.num_prefilled_tokens == 64
+    eng.step()  # final chunk [64, 70): now decode-eligible
+    assert seq not in sch.prefilling and seq in sch.running
+    while not eng.is_finished():
+        outs.extend(eng.step())
+    (out,) = outs
+    assert out.token_ids == ref.token_ids
+    assert out.finish_reason == ref.finish_reason

@@ -124,3 +124,41 @@ def test_release_behind_window_unit():
     # Deallocate releases only live entries, exactly once.
     bm.deallocate(s)
     assert bm.num_free_blocks == 16
+
+
+def test_chunked_prefill_with_sliding_window_matches_whole_prompt():
+    """Chunked prefill on a windowed model: window recycling must NOT free
+    blocks mid-chunk-train (their KV is unwritten and later chunks still
+    write/read those positions — ADVICE r4 high #1). Greedy outputs must be
+    bit-identical to whole-prompt prefill."""
+    from nanovllm_tpu.models import model as M
+
+    cfg = windowed_cfg()
+    params = M.init_params(cfg, seed=11)
+    prompt = list(range(1, 101))  # 100 tokens: len - window crosses blocks mid-train
+    sp = SamplingParams(temperature=0.0, max_tokens=24, ignore_eos=True)
+
+    def run(chunk):
+        ecfg = EngineConfig(
+            max_num_batched_tokens=4096, max_num_seqs=2, max_model_len=256,
+            kv_block_size=BS, max_decode_slots=2, min_prefill_bucket=16,
+            num_kv_blocks=24, eos_token_id=0, decode_burst=4,
+            enable_prefix_caching=False, prefill_chunk_tokens=chunk,
+        )
+        llm = LLM(model_config=cfg, engine_config=ecfg, params=params)
+        eng = llm.engine
+        sid = eng.add_request(prompt, sp)
+        seq = eng._seqs[sid]
+        out = None
+        while not eng.is_finished():
+            finished = eng.step()
+            if seq in eng.scheduler.prefilling:
+                # Mid-train: no block may have been recycled yet.
+                assert seq.num_released_blocks == 0
+            for o in finished:
+                out = o
+        return out
+
+    ref = run(0)
+    out = run(32)
+    assert out.token_ids == ref.token_ids
