@@ -41,6 +41,12 @@ def main(argv=None):
                     help="admit long prompts in chunks of at most this many "
                          "tokens per step (0 = whole-prompt); bounds "
                          "concurrent requests' TTFT under long prompts")
+    ap.add_argument("--prefill-fixed-groups", action="store_true",
+                    help="pad every prefill dispatch/sampling batch to ONE "
+                         "shape per bucket: fewer compiled programs, decisive "
+                         "on devices with small executable caches (program "
+                         "reload measured at 15-30s on the tunneled dev "
+                         "chip; see docs/PERFORMANCE.md serving notes)")
     ap.add_argument("--raw", action="store_true", help="no chat template")
     args = ap.parse_args(argv)
     question = " ".join(args.question)
@@ -61,6 +67,7 @@ def main(argv=None):
             tensor_parallel_size=args.tensor_parallel_size,
             prefill_chunk_tokens=args.prefill_chunk_tokens,
             context_parallel=args.context_parallel,
+            prefill_fixed_groups=args.prefill_fixed_groups,
         ),
     )
     mcfg = llm.model_config

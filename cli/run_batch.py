@@ -31,6 +31,9 @@ def main(argv=None):
     ap.add_argument("--max-num-seqs", type=int, default=16)
     ap.add_argument("--quantization", default="none", choices=["none", "int8", "int4"])
     ap.add_argument("--tensor-parallel-size", type=int, default=1)
+    ap.add_argument("--prefill-fixed-groups", action="store_true",
+                    help="one fixed shape per prefill bucket (small "
+                         "executable caches; docs/PERFORMANCE.md)")
     args = ap.parse_args(argv)
     if not args.model_dir:
         print("set MODEL_DIR or pass --model-dir", file=sys.stderr)
@@ -46,6 +49,7 @@ def main(argv=None):
         engine_config=EngineConfig(
             max_num_seqs=args.max_num_seqs, quantization=args.quantization,
             tensor_parallel_size=args.tensor_parallel_size,
+            prefill_fixed_groups=args.prefill_fixed_groups,
         ),
     )
     sp = SamplingParams(temperature=args.temp, max_tokens=args.max_tokens)

@@ -255,6 +255,14 @@ class EngineConfig:
     # kernel path keeps per-step writes since the kernel reads the pool),
     # True/False force. Env override: NANOVLLM_DEFER_KV=0/1.
     deferred_kv_writes: bool | None = None
+    # Clamp each decode dispatch's step count at the largest remaining
+    # token budget (max_tokens / max_model_len) across its lanes, bucketed
+    # to a power of two: short completions (max_tokens < decode_burst, or a
+    # final sub-burst tail) stop paying for full-burst device work whose
+    # sampled tokens postprocess would discard. Program count grows by at
+    # most log2(decode_burst) extra (nb, n_steps) decode variants; in
+    # steady serving only one or two get used.
+    clamp_burst_to_budget: bool = True
     # lax.scan over layers (one compiled layer body). Cuts compile/program
     # size for deep models but costs ~25-35% decode throughput (measured on
     # Llama-1B: scan variants 2.2-2.6k tok/s vs 3.4k unrolled) — XLA

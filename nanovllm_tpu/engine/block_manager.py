@@ -70,7 +70,13 @@ class BlockManager:
         self.enable_prefix_caching = enable_prefix_caching
         self.blocks = [Block(i) for i in range(num_blocks)]
         self.hash_to_block_id: dict[int, int] = {}
-        self.free_block_ids: deque[int] = deque(range(num_blocks))
+        # Physical block 0 is RESERVED (never allocated): it serves as the
+        # sliding-window placeholder id and as the Pallas flush kernel's
+        # dustbin window for inactive decode lanes (ops/pallas/kv_flush.py
+        # routes windows of lanes with zeroed block tables at block 0, and
+        # writes back its own old contents — safe only if no live sequence
+        # can own it).
+        self.free_block_ids: deque[int] = deque(range(1, num_blocks))
         self.used_block_ids: set[int] = set()
         # Blocks whose hashes are registered but whose KV has NOT been
         # written yet (prompt blocks between allocate() and the prefill step

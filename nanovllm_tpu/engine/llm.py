@@ -87,10 +87,6 @@ class LLM:
                 # Mamba2 state is not block-addressable; prefix reuse would
                 # skip state-building prefill compute. Disable for hybrids.
                 ecfg = ecfg.replace(enable_prefix_caching=False)
-            if mcfg.is_hybrid and ecfg.prefill_chunk_tokens:
-                # Mamba2 prefill is a zero-initial-state scan over the whole
-                # prompt; it cannot resume at a chunk boundary.
-                ecfg = ecfg.replace(prefill_chunk_tokens=0)
             if mcfg.sliding_window and ecfg.enable_prefix_caching:
                 # Window recycling frees blocks behind the window, breaking
                 # the chained prefix hashes those blocks anchor.

@@ -108,7 +108,9 @@ def default_num_kv_blocks(mcfg: ModelConfig, ecfg: EngineConfig) -> int:
     n = min(n, ecfg.max_decode_slots * blocks_per_seq + 1)
     # At minimum, enough blocks for one full-length sequence plus slack.
     n = max(n, 2 * blocks_per_seq)
-    return int(n)
+    # +1 for reserved physical block 0 (BlockManager never allocates it; the
+    # Pallas flush kernel uses it as the inactive-lane dustbin window).
+    return int(n) + 1
 
 
 class TPUModelRunner:
@@ -454,7 +456,27 @@ class TPUModelRunner:
         cfg = self.mcfg
         bs = self.ecfg.kv_block_size
         hoist = self._pregather_fits(nb)
-        key = ("burst", nb, n_steps, hoist)
+        # Pallas window-merge flush (single-chip, non-INT8 pools): replaces
+        # the row-serialized XLA scatter (~12.75 ms/burst -> ~0.4 ms at the
+        # bench shape). NANOVLLM_FLUSH_KERNEL=0/1 overrides for A/B.
+        import os as _os
+
+        flush_kernel = (
+            self.mesh is None
+            and self.ecfg.kv_cache_dtype != "int8"
+            and jax.default_backend() == "tpu"
+        )
+        # Same conditions gate the Pallas pregather (page-copy, S-minor
+        # output — replaces the ~73 GB/s row gather + two full-size layout
+        # copies). NANOVLLM_PREGATHER_KERNEL=0/1 overrides for A/B.
+        pregather_kernel = flush_kernel and hoist
+        if _os.environ.get("NANOVLLM_FLUSH_KERNEL") in ("0", "1"):
+            flush_kernel = _os.environ["NANOVLLM_FLUSH_KERNEL"] == "1"
+        if _os.environ.get("NANOVLLM_PREGATHER_KERNEL") in ("0", "1"):
+            pregather_kernel = (
+                hoist and _os.environ["NANOVLLM_PREGATHER_KERNEL"] == "1"
+            )
+        key = ("burst", nb, n_steps, hoist, flush_kernel, pregather_kernel)
         if key not in self._decode_cache:
             Lh = self.hist_capacity
             rep = self._rep
@@ -467,7 +489,9 @@ class TPUModelRunner:
                 lanes = jnp.arange(Sn)
                 stash = M.create_burst_stash(cfg, n_steps, Sn)
                 if hoist:
-                    k_pre, v_pre = M.pregather_context(cfg, pool, block_tables, bs)
+                    k_pre, v_pre = M.pregather_context(
+                        cfg, pool, block_tables, bs, use_kernel=pregather_kernel
+                    )
                 else:
                     k_pre = v_pre = None
 
@@ -476,7 +500,7 @@ class TPUModelRunner:
                     logits, stash, mamba = M.decode_step_burst(
                         params, cfg, tokens, positions, context_lens0, i,
                         block_tables, pool, stash, mamba, bs, k_pre, v_pre,
-                        valid_mask=active,
+                        valid_mask=active, ctx_transposed=pregather_kernel,
                     )
                     sampled = sample_op(
                         logits.astype(jnp.float32), history, hist_lens,
@@ -499,6 +523,7 @@ class TPUModelRunner:
                 pool = M.flush_burst_stash(
                     pool, cfg, stash, block_tables, positions0, active, bs,
                     max_positions=self.ecfg.max_model_len,
+                    use_kernel=flush_kernel,
                 )
                 sampling_out = dict(sampling)
                 sampling_out["hist_lens"] = hist_lens
@@ -848,6 +873,19 @@ class TPUModelRunner:
     def _run_decode(self, seqs: list[Sequence]) -> list[list[int]]:
         S = self.S
         n_steps = self.ecfg.decode_burst
+        if self.ecfg.clamp_burst_to_budget:
+            # Largest remaining deterministic budget across lanes: running a
+            # longer burst only samples tokens postprocess must discard
+            # (stop-token finishes stay unpredictable — that trim remains).
+            rem = 1
+            for seq in seqs:
+                r = min(
+                    seq.sampling_params.max_tokens - seq.num_completion_tokens,
+                    self.ecfg.max_model_len - len(seq),
+                )
+                rem = max(rem, r)
+            if rem < n_steps:
+                n_steps = bucket_length(rem, 1, n_steps)
         tokens = np.zeros((S,), np.int32)
         positions = np.zeros((S,), np.int32)
         context_lens = np.ones((S,), np.int32)

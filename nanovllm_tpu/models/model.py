@@ -514,7 +514,8 @@ def prefill_chunk(
             if cfg.layer_kind(i) == LayerKind.MAMBA2:
                 h = apply_norm(blk["ln1"], x, cfg.norm_eps)
                 h, mamba_state = mamba_ops.mamba2_prefill(
-                    cfg, blk["mamba"], h, valid_len, mamba_state, i, slot_idx
+                    cfg, blk["mamba"], h, valid_len, mamba_state, i, slot_idx,
+                    chunk_start=context_len - valid_len,
                 )
                 x = _residual_add(cfg, x, h)
                 h = apply_norm(blk["ln2"], x, cfg.norm_eps)
@@ -619,6 +620,7 @@ def prefill_batch(
                 h, mamba_state = mamba_ops.mamba2_prefill_batch(
                     cfg, blk["mamba"], h.reshape(N, T, -1), valid_lens,
                     mamba_state, i, slot_idxs,
+                    chunk_starts=context_lens - valid_lens,
                 )
                 x = _residual_add(cfg, x, h.reshape(N * T, -1))
                 h = apply_norm(blk["ln2"], x, cfg.norm_eps)
@@ -709,7 +711,7 @@ def decode_step(
         for i, blk in enumerate(params["blocks"]):
             if cfg.layer_kind(i) == LayerKind.MAMBA2:
                 h = apply_norm(blk["ln1"], x, cfg.norm_eps)
-                h, mamba_state = mamba_ops.mamba2_decode(cfg, blk["mamba"], h, mamba_state, i)
+                h, mamba_state = mamba_ops.mamba2_decode(cfg, blk["mamba"], h, mamba_state, i, valid_mask=vmask)
                 x = _residual_add(cfg, x, h)
                 h = apply_norm(blk["ln2"], x, cfg.norm_eps)
                 x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h, vmask))
@@ -731,7 +733,10 @@ def decode_step(
 
 
 def create_burst_stash(cfg: ModelConfig, n_steps: int, B: int) -> dict:
-    shape = (cfg.num_layers, n_steps, B, cfg.num_kv_heads * cfg.head_dim)
+    """Lane-major [L, B, J, HD]: the (J, HD) minor dims are what both the
+    per-step attention read and the Pallas flush kernel's block specs want
+    (TPU tiling requires the window's minor dims sublane/lane-aligned)."""
+    shape = (cfg.num_layers, B, n_steps, cfg.num_kv_heads * cfg.head_dim)
     dt = jnp.dtype(cfg.dtype)
     return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
 
@@ -741,11 +746,22 @@ def pregather_context(
     pool: dict,
     block_tables: jnp.ndarray,  # [B, nb]
     block_size: int,
+    use_kernel: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Gather every attention layer's context KV in one take:
-    returns k, v of shape [L, B, S, Hkv, D] (dequantized if INT8 pool).
-    The burst's context is static, so this runs once per burst instead of
-    once per (layer, step)."""
+    returns k, v of shape [L, B, S, Hkv, D] (dequantized if INT8 pool), or
+    TRANSPOSED [L, B, Hkv, D, S] when use_kernel (the Pallas page-copy kernel
+    emits the S-minor layout the per-step dots want; consume with
+    attention_decode_stashed(ctx_layout="bhds")). The burst's context is
+    static, so this runs once per burst instead of once per (layer, step)."""
+    if use_kernel:
+        from nanovllm_tpu.ops.pallas import kv_pregather
+
+        assert kv_pregather.pregather_supported(pool), "INT8 pool: XLA path"
+        return kv_pregather.pregather_context_pallas(
+            pool, block_tables, block_size, cfg.num_layers,
+            num_kv_heads=cfg.num_kv_heads, transpose=True,
+        )
     L = cfg.num_layers
     bs = block_size
     nslots = pool["k"].shape[0] // L
@@ -778,8 +794,9 @@ def decode_step_burst(
     mamba_state: dict | None = None,
     block_size: int = 16,
     k_ctx_pre: jnp.ndarray | None = None,  # [L, B, S, Hkv, D] hoisted gather
-    v_ctx_pre: jnp.ndarray | None = None,
+    v_ctx_pre: jnp.ndarray | None = None,  # (or [L, B, Hkv*D, S] transposed)
     valid_mask: jnp.ndarray | None = None,  # [B] active lanes
+    ctx_transposed: bool = False,  # k/v_ctx_pre from the pregather kernel
 ):
     """One decode step of a deferred burst; returns (logits, stash,
     mamba_state). The pool is not written — call flush_burst_stash after the
@@ -802,20 +819,27 @@ def decode_step_burst(
             k = apply_rope(k, *cos_sin)
         dt = stash["k"].dtype
         stash = {
-            "k": stash["k"].at[layer, step_idx].set(k.reshape(B, -1).astype(dt)),
-            "v": stash["v"].at[layer, step_idx].set(v.reshape(B, -1).astype(dt)),
+            "k": stash["k"].at[layer, :, step_idx].set(k.reshape(B, -1).astype(dt)),
+            "v": stash["v"].at[layer, :, step_idx].set(v.reshape(B, -1).astype(dt)),
         }
+        layout = "bshd"
         if k_ctx_pre is not None:
             k_ctx, v_ctx = k_ctx_pre[layer], v_ctx_pre[layer]
+            if ctx_transposed:
+                # Kernel output is already [B, Hkv, D, S] — consume with NO
+                # reshape (a reshape here defeats XLA's slice fusion and
+                # re-materializes every layer's slice per step).
+                layout = "bhds"
         else:
             k_ctx, v_ctx = kvc.kv_gather(
                 pool, layer, nslots, block_tables, block_size, cfg.num_kv_heads, dtype=x.dtype
             )
-        J = stash["k"].shape[1]
-        sk = stash["k"][layer].reshape(J, B, cfg.num_kv_heads, cfg.head_dim)
-        sv = stash["v"][layer].reshape(J, B, cfg.num_kv_heads, cfg.head_dim)
+        J = stash["k"].shape[2]
+        sk = stash["k"][layer].reshape(B, J, cfg.num_kv_heads, cfg.head_dim)
+        sv = stash["v"][layer].reshape(B, J, cfg.num_kv_heads, cfg.head_dim)
         attn = attention_decode_stashed(
-            q, k_ctx, v_ctx, sk, sv, ctx0, step_idx, cfg.attn_scale, cfg.sliding_window
+            q, k_ctx, v_ctx, sk, sv, ctx0, step_idx, cfg.attn_scale,
+            cfg.sliding_window, ctx_layout=layout,
         )
         attn_out = linear(blk["attn"]["o"], attn.reshape(B, -1))
         if cfg.block_style == BlockStyle.PARALLEL:
@@ -841,7 +865,7 @@ def decode_step_burst(
         for i, blk in enumerate(params["blocks"]):
             if cfg.layer_kind(i) == LayerKind.MAMBA2:
                 h = apply_norm(blk["ln1"], x, cfg.norm_eps)
-                h, mamba_state = mamba_ops.mamba2_decode(cfg, blk["mamba"], h, mamba_state, i)
+                h, mamba_state = mamba_ops.mamba2_decode(cfg, blk["mamba"], h, mamba_state, i, valid_mask=vmask)
                 x = _residual_add(cfg, x, h)
                 h = apply_norm(blk["ln2"], x, cfg.norm_eps)
                 x = _residual_add(cfg, x, _ffn_forward(cfg, blk, h, vmask))
@@ -855,23 +879,36 @@ def decode_step_burst(
 def flush_burst_stash(
     pool: dict,
     cfg: ModelConfig,
-    stash: dict,                # {k, v: [L, J, B, Hkv*D]}
+    stash: dict,                # {k, v: [L, B, J, Hkv*D]}
     block_tables: jnp.ndarray,  # [B, nb]
     positions0: jnp.ndarray,    # [B] position of the burst's FIRST token
     active: jnp.ndarray,        # [B] bool
     block_size: int,
     max_positions: int = 0,     # >0: drop writes at/past this position
+    use_kernel: bool = False,
 ) -> dict:
     """Write the whole burst's K/V into the pool with ONE scatter per tensor
-    (every layer, step and lane at once)."""
-    L, J, B, HD = stash["k"].shape
+    (every layer, step and lane at once). With use_kernel (single-chip,
+    non-INT8 pools) the scatter runs as the Pallas window-merge kernel —
+    XLA lowers the row scatter serialized at ~12.75 ms/burst on the Llama-1B
+    bench shape vs ~0.4 ms for the kernel (r5 anatomy,
+    docs/PERFORMANCE.md)."""
+    if use_kernel:
+        from nanovllm_tpu.ops.pallas import kv_flush
+
+        if kv_flush.flush_supported(stash["k"].shape[2], block_size, pool):
+            return kv_flush.flush_burst_stash_pallas(
+                pool, stash, block_tables, positions0, active, block_size,
+                max_positions or (1 << 30),
+            )
+    L, B, J, HD = stash["k"].shape
     bs = block_size
     nslots = pool["k"].shape[0] // L
     total = pool["k"].shape[0]
-    pos = positions0[None, :] + jnp.arange(J, dtype=jnp.int32)[:, None]  # [J, B]
-    blk = jnp.take_along_axis(block_tables, (pos // bs).T, axis=1).T  # [J, B]
-    rows = blk * bs + pos % bs  # per-layer slot ids [J, B]
-    keep = active[None, :]
+    pos = positions0[:, None] + jnp.arange(J, dtype=jnp.int32)[None, :]  # [B, J]
+    blk = jnp.take_along_axis(block_tables, pos // bs, axis=1)  # [B, J]
+    rows = blk * bs + pos % bs  # per-layer slot ids [B, J]
+    keep = active[:, None]
     if max_positions:
         # Positions past the model limit have no allocated block (generation
         # is clamped there) — drop them rather than write via a clamped index.
@@ -881,8 +918,8 @@ def flush_burst_stash(
     rows_all = jnp.where(rows[None, :, :] >= nslots, total, rows_all).reshape(-1)
     out = dict(pool)
     if pool["k"].dtype == jnp.int8:
-        k = stash["k"].reshape(L * J * B, cfg.num_kv_heads, cfg.head_dim)
-        v = stash["v"].reshape(L * J * B, cfg.num_kv_heads, cfg.head_dim)
+        k = stash["k"].reshape(L * B * J, cfg.num_kv_heads, cfg.head_dim)
+        v = stash["v"].reshape(L * B * J, cfg.num_kv_heads, cfg.head_dim)
         qk, sk = kvc._quantize_kv(k)
         qv, sv = kvc._quantize_kv(v)
         out["k"] = pool["k"].at[rows_all].set(qk.reshape(-1, HD), mode="drop")

@@ -90,25 +90,35 @@ def attention_decode_stashed(
     q: jnp.ndarray,        # [B, H, D]
     k_ctx: jnp.ndarray,    # [B, S, Hkv, D] pool context (positions < ctx0-1 valid)
     v_ctx: jnp.ndarray,    # [B, S, Hkv, D]
-    stash_k: jnp.ndarray,  # [n_steps, B, Hkv, D] burst K (step j = position ctx0-1+j)
-    stash_v: jnp.ndarray,  # [n_steps, B, Hkv, D]
+    stash_k: jnp.ndarray,  # [B, n_steps, Hkv, D] burst K (step j = position ctx0-1+j)
+    stash_v: jnp.ndarray,  # [B, n_steps, Hkv, D]
     ctx0: jnp.ndarray,     # [B] int32 context length at burst start (incl. 1st burst token)
     step_idx,              # scalar int32: current burst step i
     scale: float,
     sliding_window: int = 0,
+    ctx_layout: str = "bshd",  # "bhds": k/v_ctx are [B, Hkv, D, S] (S minor)
 ) -> jnp.ndarray:
     """Decode attention for burst-deferred KV writes: the pool gather holds
     pre-burst context only; the burst's own K/V live in the stash and are
     scored separately, with one softmax over the concatenated scores. Exactly
     equivalent to attention_decode over a pool containing the burst rows —
     but the pool scatter happens ONCE per burst (flush) instead of per step.
+
+    ctx_layout="bhds" consumes the Pallas pregather kernel's transposed
+    output directly (physically S-minor — the layout the score/PV dots want,
+    saving the full-size layout copies XLA otherwise inserts per burst).
     Returns [B, H, D]."""
-    B, S = k_ctx.shape[0], k_ctx.shape[1]
-    Hkv = k_ctx.shape[-2]
-    J = stash_k.shape[0]
+    transposed = ctx_layout == "bhds"
+    B = k_ctx.shape[0]
+    S = k_ctx.shape[-1] if transposed else k_ctx.shape[1]
+    Hkv = k_ctx.shape[1] if transposed else k_ctx.shape[-2]
+    J = stash_k.shape[1]
     qg = _grouped(q, Hkv).astype(jnp.float32)  # [B, Hkv, G, D]
-    s_ctx = jnp.einsum("bhgd,bshd->bhgs", qg, k_ctx.astype(jnp.float32)) * scale
-    s_stash = jnp.einsum("bhgd,jbhd->bhgj", qg, stash_k.astype(jnp.float32)) * scale
+    if transposed:
+        s_ctx = jnp.einsum("bhgd,bhds->bhgs", qg, k_ctx.astype(jnp.float32)) * scale
+    else:
+        s_ctx = jnp.einsum("bhgd,bshd->bhgs", qg, k_ctx.astype(jnp.float32)) * scale
+    s_stash = jnp.einsum("bhgd,bjhd->bhgj", qg, stash_k.astype(jnp.float32)) * scale
 
     pos = jnp.arange(S, dtype=jnp.int32)[None, :]  # [1, S]
     ctx_mask = pos < (ctx0[:, None] - 1)           # pool holds positions < ctx0-1
@@ -124,8 +134,11 @@ def attention_decode_stashed(
     scores = jnp.concatenate([s_ctx, s_stash], axis=-1)  # [B, Hkv, G, S+J]
     probs = jnp.exp(scores - jnp.max(scores, axis=-1, keepdims=True))
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
-    out = jnp.einsum("bhgs,bshd->bhgd", probs[..., :S], v_ctx.astype(jnp.float32))
-    out += jnp.einsum("bhgj,jbhd->bhgd", probs[..., S:], stash_v.astype(jnp.float32))
+    if transposed:
+        out = jnp.einsum("bhgs,bhds->bhgd", probs[..., :S], v_ctx.astype(jnp.float32))
+    else:
+        out = jnp.einsum("bhgs,bshd->bhgd", probs[..., :S], v_ctx.astype(jnp.float32))
+    out += jnp.einsum("bhgj,bjhd->bhgd", probs[..., S:], stash_v.astype(jnp.float32))
     return out.reshape(B, q.shape[1], -1).astype(q.dtype)
 
 

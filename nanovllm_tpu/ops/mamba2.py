@@ -104,10 +104,14 @@ def _prefill_core(
     p: dict,
     x: jnp.ndarray,          # [T, E]
     valid_len: jnp.ndarray,  # scalar int32
+    init_ssm: jnp.ndarray | None = None,   # [H, P, S] resume state (chunked)
+    init_conv: jnp.ndarray | None = None,  # [K-1, conv_dim] resume conv rows
 ):
-    """One sequence's full mamba2 prefill. Returns (out [T, E],
-    final_ssm_state [H, P, S], conv_rows [K-1, conv_dim]) — pure in the
-    sequence, so the batched variant is a straight vmap."""
+    """One sequence's mamba2 prefill over a (possibly mid-prompt) chunk.
+    init_ssm/init_conv resume the scan from a previous chunk's parked state
+    (zeros = fresh prompt — identical numerics to the unchunked scan).
+    Returns (out [T, E], final_ssm_state [H, P, S], conv_rows [K-1,
+    conv_dim]) — pure in the sequence, so the batched variant is a vmap."""
     from nanovllm_tpu.ops.linear import linear
 
     T = x.shape[0]
@@ -119,9 +123,12 @@ def _prefill_core(
     tmask = (jnp.arange(T) < valid_len).astype(jnp.float32)  # [T]
     xbc_f = xbc.astype(jnp.float32) * tmask[:, None]
 
-    # Causal depthwise conv1d, left-padded with zeros (fresh prefill).
+    # Causal depthwise conv1d, left-padded with the previous chunk's last
+    # K-1 pre-conv rows (zeros on a fresh prompt).
     K = cfg.mamba_d_conv
-    padded = jnp.concatenate([jnp.zeros((K - 1, conv_dim), jnp.float32), xbc_f], axis=0)
+    if init_conv is None:
+        init_conv = jnp.zeros((K - 1, conv_dim), jnp.float32)
+    padded = jnp.concatenate([init_conv.astype(jnp.float32), xbc_f], axis=0)
     conv = sum(
         padded[j : j + T] * p["conv_w"][j].astype(jnp.float32)[None, :] for j in range(K)
     ) + p["conv_b"].astype(jnp.float32)[None, :]
@@ -173,19 +180,20 @@ def _prefill_core(
         )
         return S_new, y0 + y_intra
 
-    init = jnp.zeros((H, P, S), jnp.float32)
+    init = (
+        jnp.zeros((H, P, S), jnp.float32) if init_ssm is None
+        else init_ssm.astype(jnp.float32)
+    )
     final_state, ys = jax.lax.scan(chunk_step, init, (xs_c, Bh_c, Ch_c, dt_c, logd_c))
     ys = ys.reshape(T, H, P)
     y = ys + xs * p["D"].astype(jnp.float32)[None, :, None]
     out = _gated_out(cfg, p, y.reshape(T, d_inner), gate)
 
-    # Last K-1 valid pre-conv rows: the decode conv window seed.
-    idx = jnp.arange(K - 1) + valid_len - (K - 1)
-    conv_rows = jnp.where(
-        (idx >= 0)[:, None],
-        jnp.take(xbc_f, jnp.clip(idx, 0, T - 1), axis=0),
-        0.0,
-    )
+    # Last K-1 valid pre-conv rows (reaching into init_conv when the chunk
+    # is shorter than the window): the next chunk's / decode's conv seed.
+    ext = jnp.concatenate([padded[: K - 1], xbc_f], axis=0)  # [K-1+T, conv]
+    idx = jnp.clip(jnp.arange(K - 1) + valid_len, 0, ext.shape[0] - 1)
+    conv_rows = jnp.take(ext, idx, axis=0)
     return out, final_state, conv_rows
 
 
@@ -197,9 +205,19 @@ def mamba2_prefill(
     state: dict | None,
     layer_idx: int,
     slot_idx: jnp.ndarray | None,  # scalar int32: decode slot to park final state in
+    chunk_start=None,  # scalar int32: chunk's first position; >0 resumes the
+    #                    scan from the state parked by the previous chunk
 ):
     li = mamba_layer_index(cfg, layer_idx)
-    out, final_state, conv_rows = _prefill_core(cfg, p, x, valid_len)
+    init_ssm = init_conv = None
+    if state is not None and slot_idx is not None and chunk_start is not None:
+        resume = (chunk_start > 0).astype(jnp.float32)
+        si = jnp.clip(slot_idx, 0, state["ssm"].shape[1] - 1)
+        init_ssm = state["ssm"][li, si] * resume
+        init_conv = state["conv"][li, si] * resume
+    out, final_state, conv_rows = _prefill_core(
+        cfg, p, x, valid_len, init_ssm, init_conv
+    )
     if state is not None and slot_idx is not None:
         # Park final conv + ssm state in this sequence's decode slot.
         state = {
@@ -217,14 +235,24 @@ def mamba2_prefill_batch(
     state: dict | None,
     layer_idx: int,
     slot_idxs: jnp.ndarray | None,  # [N] int32 decode slots (OOB row => dropped)
+    chunk_starts: jnp.ndarray | None = None,  # [N] int32; >0 resumes per row
 ):
     """Batched mamba2 prefill: vmap of `_prefill_core` over the group's
     sequences plus ONE scatter parking all final states. Padding rows in the
     group pass an out-of-range slot (mode='drop')."""
     li = mamba_layer_index(cfg, layer_idx)
-    out, final_states, conv_rows = jax.vmap(
-        lambda xi, vi: _prefill_core(cfg, p, xi, vi)
-    )(x, valid_lens)
+    if state is not None and slot_idxs is not None and chunk_starts is not None:
+        resume = (chunk_starts > 0).astype(jnp.float32)
+        si = jnp.clip(slot_idxs, 0, state["ssm"].shape[1] - 1)
+        init_ssm = state["ssm"][li, si] * resume[:, None, None, None]
+        init_conv = state["conv"][li, si] * resume[:, None, None]
+        out, final_states, conv_rows = jax.vmap(
+            lambda xi, vi, s0, c0: _prefill_core(cfg, p, xi, vi, s0, c0)
+        )(x, valid_lens, init_ssm, init_conv)
+    else:
+        out, final_states, conv_rows = jax.vmap(
+            lambda xi, vi: _prefill_core(cfg, p, xi, vi)
+        )(x, valid_lens)
     if state is not None and slot_idxs is not None:
         state = {
             "conv": state["conv"].at[li, slot_idxs].set(conv_rows, mode="drop"),
@@ -239,6 +267,7 @@ def mamba2_decode(
     x: jnp.ndarray,  # [Bslots, E]
     state: dict,
     layer_idx: int,
+    valid_mask: jnp.ndarray | None = None,  # [Bslots] bool: freeze others
 ):
     from nanovllm_tpu.ops.linear import linear
 
@@ -273,8 +302,17 @@ def mamba2_decode(
     y = jnp.einsum("bhps,bhs->bhp", new_ssm, Ch) + xs * p["D"].astype(jnp.float32)[None, :, None]
     out = _gated_out(cfg, p, y.reshape(Bn, d_inner), gate)
 
+    # Freeze inactive lanes' state: a decode step dispatches every slot's
+    # row, but slots that are mid-chunk-train (hybrid chunked prefill
+    # alternates decode bursts with the train) or unoccupied must not have
+    # their parked state garbage-advanced.
+    new_conv = window[:, 1:, :]
+    if valid_mask is not None:
+        m = valid_mask
+        new_conv = jnp.where(m[:, None, None], new_conv, conv_hist)
+        new_ssm = jnp.where(m[:, None, None, None], new_ssm, ssm)
     state = {
-        "conv": state["conv"].at[li].set(window[:, 1:, :]),
+        "conv": state["conv"].at[li].set(new_conv),
         "ssm": state["ssm"].at[li].set(new_ssm),
     }
     return out, state

@@ -21,9 +21,10 @@ def test_allocate_deallocate_invariants():
     assert bm.can_allocate(s)
     bm.allocate(s)
     assert len(s.block_table) == 4
-    assert bm.num_free_blocks == 4
+    assert 0 not in s.block_table  # physical block 0 is reserved
+    assert bm.num_free_blocks == 3  # 8 blocks - 1 reserved - 4 allocated
     bm.deallocate(s)
-    assert bm.num_free_blocks == 8
+    assert bm.num_free_blocks == 7
     assert s.block_table == []
 
 
@@ -47,7 +48,7 @@ def test_prefix_cache_sharing():
     bm.deallocate(s1)
     assert bm.blocks[s2.block_table[0]].ref_count == 1
     bm.deallocate(s2)
-    assert bm.num_free_blocks == 16
+    assert bm.num_free_blocks == 15  # block 0 stays reserved
 
 
 def test_prefix_cache_rejects_hash_collision_with_different_tokens():

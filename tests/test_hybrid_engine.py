@@ -186,3 +186,52 @@ def test_hybrid_engine_concurrent_arrivals_share_dispatches():
     outs2 = llm2.generate(prompts, SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True))
     for a, b in zip(outs, outs2):
         assert a.token_ids == b.token_ids
+
+
+def test_hybrid_chunked_prefill_matches_whole_prompt():
+    """Chunked prefill on a hybrid: each chunk resumes the Mamba scan from
+    the state parked by the previous chunk (VERDICT r4 next-step #7) —
+    greedy outputs bit-identical to whole-prompt prefill, including with a
+    running decode interleaved with the chunk train (whose bursts must NOT
+    advance the mid-prefill slot's parked state)."""
+    cfg = hybrid_cfg()
+    params = M.init_params(cfg, seed=5)
+    long_prompt = list(range(1, 81))  # 80 tokens -> 3 chunks of 32
+    short_prompt = [7, 8, 9]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+
+    def make(chunk):
+        ecfg = EngineConfig(
+            max_num_batched_tokens=4096, max_num_seqs=2, max_model_len=128,
+            kv_block_size=BS, max_decode_slots=2, min_prefill_bucket=16,
+            num_kv_blocks=16, eos_token_id=0, decode_burst=2,
+            prefill_chunk_tokens=chunk,
+        )
+        return LLM(model_config=cfg, engine_config=ecfg, params=params)
+
+    # The facade no longer zeroes chunking for hybrids.
+    assert make(32).engine_config.prefill_chunk_tokens == 32
+
+    ref = make(0).generate([long_prompt], sp)[0]
+    out = make(32).generate([long_prompt], sp)[0]
+    assert out.token_ids == ref.token_ids
+
+    # Interleaved: short request decodes while the long chunk train runs.
+    ref_short = make(0).generate([short_prompt], sp)[0]
+    llm = make(32)
+    eng = llm.engine
+    sid_short = eng.add_request(short_prompt, sp)
+    eng.step()  # short prefill: decoding from now on
+    sid_long = eng.add_request(long_prompt, sp)
+    outs = {}
+    saw_interleave = False
+    while not eng.is_finished():
+        long_seq = eng._seqs.get(sid_long)
+        if long_seq is not None and long_seq in eng.scheduler.prefilling:
+            if eng._seqs.get(sid_short) is not None:
+                saw_interleave = True
+        for o in eng.step():
+            outs[o.seq_id] = o
+    assert saw_interleave  # the scenario actually exercised alternation
+    assert outs[sid_long].token_ids == ref.token_ids
+    assert outs[sid_short].token_ids == ref_short.token_ids

@@ -203,7 +203,7 @@ def test_abort_while_step_in_flight():
     # The aborted sequence's slot and blocks must be free again.
     bm = eng.scheduler.block_manager
     used_by_2 = len(eng._seqs[sid2].block_table)
-    assert bm.num_free_blocks == bm.num_blocks - used_by_2
+    assert bm.num_free_blocks == bm.num_blocks - 1 - used_by_2  # -1: reserved block 0
     while not eng.is_finished():
         eng.step()
     assert eng.scheduler.is_finished()
@@ -214,7 +214,7 @@ def test_abort_waiting_request_releases_nothing_held():
     sid = eng.add_request([9] * 8, SamplingParams(max_tokens=10))
     bm = eng.scheduler.block_manager
     assert eng.abort_request(sid)
-    assert bm.num_free_blocks == bm.num_blocks
+    assert bm.num_free_blocks == bm.num_blocks - 1  # block 0 reserved
     assert eng.is_finished()
 
 
@@ -262,7 +262,7 @@ def test_retry_exhaustion_finishes_with_error():
     assert outs[0].finish_reason == "error"
     assert eng.is_finished()
     assert len(eng.scheduler.free_slots) == 8
-    assert eng.scheduler.block_manager.num_free_blocks == 64
+    assert eng.scheduler.block_manager.num_free_blocks == 63  # block 0 reserved
 
 
 def test_consecutive_failures_reraise():

@@ -72,8 +72,8 @@ def test_window_recycling_bounds_blocks_and_matches_full_table():
     # Live blocks bounded by the window (+ burst slack + partial blocks),
     # far below the O(context) 9+ blocks a 136-token table would hold.
     assert max_live_blocks <= WINDOW // BS + 2, max_live_blocks
-    # All blocks returned at the end.
-    assert bm.num_free_blocks == bm.num_blocks
+    # All allocatable blocks returned at the end (block 0 stays reserved).
+    assert bm.num_free_blocks == bm.num_blocks - 1
 
 
 def test_window_recycling_under_block_reuse():
@@ -111,11 +111,11 @@ def test_release_behind_window_unit():
     bm = BlockManager(num_blocks=16, block_size=BS, enable_prefix_caching=False)
     s = Sequence(list(range(5 * BS)), SamplingParams(), BS)
     bm.allocate(s)
-    assert bm.num_free_blocks == 11
+    assert bm.num_free_blocks == 10  # 16 - 1 reserved - 5 allocated
     # Window of 32: with len=80, blocks 0..2 end at 48 <= 80-32 = 48.
     n = bm.release_behind_window(s, WINDOW)
     assert n == 3 and s.num_released_blocks == 3
-    assert bm.num_free_blocks == 14
+    assert bm.num_free_blocks == 13
     # Idempotent until the sequence grows.
     assert bm.release_behind_window(s, WINDOW) == 0
     for _ in range(BS):
@@ -123,7 +123,7 @@ def test_release_behind_window_unit():
     assert bm.release_behind_window(s, WINDOW) == 1
     # Deallocate releases only live entries, exactly once.
     bm.deallocate(s)
-    assert bm.num_free_blocks == 16
+    assert bm.num_free_blocks == 15
 
 
 def test_chunked_prefill_with_sliding_window_matches_whole_prompt():
