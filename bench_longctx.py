@@ -10,6 +10,7 @@ Prints one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -49,7 +50,8 @@ def main():
         max_num_batched_tokens=65536, max_num_seqs=B, max_model_len=4096,
         kv_block_size=128, kv_pool_bytes=6 << 30, max_decode_slots=B,
         min_prefill_bucket=512, eos_token_id=128001,
-        enable_prefix_caching=False, decode_burst=8,
+        enable_prefix_caching=False,
+        decode_burst=int(os.environ.get("NANOVLLM_BENCH_BURST", "8")),
         kv_cache_dtype="int8",  # exercises the fused-dequant paged kernel
     )
     llm = LLM(model_config=cfg, engine_config=ecfg, params=params)

@@ -57,10 +57,17 @@ def build_trace(shape_rng, content_seed, n_req, vocab):
 
 
 def run_trace(eng, trace, arrivals, sp_for, deadline_s=1800.0):
-    """Drive the engine against timestamped arrivals; returns (ttfts, wall).
-    Deadline-guarded: on timeout, stop admitting, drain, return partials."""
+    """Drive the engine against timestamped arrivals; returns
+    (ttfts, tpots, wall). TPOT = (finish - arrival - ttft) / (tokens - 1)
+    per request — the honest inter-token pace under multi-step decode
+    (token DELIVERY is burst-quantized: ~decode_burst tokens land per
+    dispatch, so token-level ITL percentiles would read 0-or-burst;
+    TPOT averages over the request and is the metric BASELINE-style
+    serving dashboards track). Deadline-guarded: on timeout, stop
+    admitting, drain, return partials."""
     n_req = len(trace)
-    ttfts = []
+    ttfts, tpots = [], []
+    t_add = {}
     t_start = time.perf_counter()
     sent = done = 0
     while done < sent or sent < n_req:
@@ -72,16 +79,22 @@ def run_trace(eng, trace, arrivals, sp_for, deadline_s=1800.0):
             break
         while sent < n_req and arrivals[sent] <= now:
             prompt, max_toks = trace[sent]
-            eng.add_request(prompt, sp_for(max_toks))
+            rid = eng.add_request(prompt, sp_for(max_toks))
+            t_add[rid] = time.perf_counter()
             sent += 1
         if sent < n_req and eng.is_finished():
             time.sleep(min(0.002, max(0.0, arrivals[sent] - now)))
             continue
         for out in eng.step():
             done += 1
+            t_done = time.perf_counter()
             if out.ttft_s is not None:
                 ttfts.append(out.ttft_s)
-    return ttfts, time.perf_counter() - t_start
+                n_tok = len(out.token_ids)
+                if n_tok > 1 and out.seq_id in t_add:
+                    gen_s = t_done - t_add[out.seq_id] - out.ttft_s
+                    tpots.append(max(gen_s, 0.0) / (n_tok - 1))
+    return ttfts, tpots, time.perf_counter() - t_start
 
 
 def main():
@@ -127,7 +140,7 @@ def main():
     log("warmup pass 1/2 (closed batch, compiling large buckets)...")
     t0 = time.time()
     trace1 = build_trace(np.random.default_rng(1), 100, N, cfg.vocab_size)
-    run_trace(eng, trace1, np.zeros(N), sp_for)
+    run_trace(eng, trace1, np.zeros(N), sp_for)[-1]
     log(f"pass 1 done in {time.time()-t0:.1f}s")
 
     m = eng.metrics
@@ -144,7 +157,8 @@ def main():
         eng.metrics[k] = 0.0 if isinstance(eng.metrics[k], float) else 0
     log(f"timed pass: {N} requests, Poisson rate {rate:.1f} req/s "
         f"(~40% of {cap_req_s:.0f} req/s capacity)...")
-    ttfts, wall = run_trace(
+    preempt0 = eng.scheduler.num_preemptions
+    ttfts, tpots, wall = run_trace(
         eng, build_trace(np.random.default_rng(1), 300, N, cfg.vocab_size),
         arrivals, sp_for,
     )
@@ -153,10 +167,43 @@ def main():
     decode_tok_s = m["decode_tokens"] / m["decode_time"] if m["decode_time"] else 0.0
     p50 = percentile(ttfts, 50) * 1e3
     p99 = percentile(ttfts, 99) * 1e3
+    tpot50 = percentile(tpots, 50) * 1e3
+    tpot99 = percentile(tpots, 99) * 1e3
+    steady_preempts = eng.scheduler.num_preemptions - preempt0
     log(
         f"served {N} reqs in {wall:.1f}s ({N/wall:.1f} req/s) | "
-        f"TTFT p50={p50:.1f}ms p99={p99:.1f}ms | decode {decode_tok_s:.0f} tok/s | "
+        f"TTFT p50={p50:.1f}ms p99={p99:.1f}ms | TPOT p50={tpot50:.1f}ms "
+        f"p99={tpot99:.1f}ms | decode {decode_tok_s:.0f} tok/s | "
+        f"preemptions {steady_preempts} | "
         f"prefix-cache hits {m['cached_prompt_tokens']:.0f} tok"
+    )
+
+    # Overload pass (VERDICT r4 next-step #5): arrivals ABOVE decode
+    # capacity. The scheduler must keep sustained throughput at capacity
+    # while the backlog grows — TTFT inflates with queue depth and the
+    # preemption path runs under real pressure on the chip.
+    over_factor = float(os.environ.get("SERVING_OVERLOAD_FACTOR", "1.25"))
+    over_rate = over_factor * cap_req_s
+    over_arrivals = np.cumsum(rng.exponential(1.0 / over_rate, size=N))
+    for k in eng.metrics:
+        eng.metrics[k] = 0.0 if isinstance(eng.metrics[k], float) else 0
+    preempt0 = eng.scheduler.num_preemptions
+    log(f"overload pass: {N} requests at {over_rate:.1f} req/s "
+        f"({over_factor:.2f}x capacity)...")
+    o_ttfts, o_tpots, o_wall = run_trace(
+        eng, build_trace(np.random.default_rng(1), 500, N, cfg.vocab_size),
+        over_arrivals, sp_for,
+    )
+    m = eng.metrics
+    o_decode = m["decode_tokens"] / m["decode_time"] if m["decode_time"] else 0.0
+    o_p50 = percentile(o_ttfts, 50) * 1e3
+    o_p99 = percentile(o_ttfts, 99) * 1e3
+    o_tpot50 = percentile(o_tpots, 50) * 1e3
+    o_preempts = eng.scheduler.num_preemptions - preempt0
+    log(
+        f"overload: {N} reqs in {o_wall:.1f}s ({N/o_wall:.1f} req/s sustained) | "
+        f"TTFT p50={o_p50:.1f}ms p99={o_p99:.1f}ms | TPOT p50={o_tpot50:.1f}ms | "
+        f"decode {o_decode:.0f} tok/s | preemptions {o_preempts}"
     )
     print(
         json.dumps(
@@ -170,6 +217,19 @@ def main():
                 "arrival_rate_req_s": round(rate, 1),
                 "decode_burst": BURST,
                 "cached_prompt_tokens": int(m["cached_prompt_tokens"]),
+                "tpot_p50_ms": round(tpot50, 2),
+                "tpot_p99_ms": round(tpot99, 2),
+                "preemptions": steady_preempts,
+                "overload": {
+                    "factor_of_capacity": over_factor,
+                    "arrival_req_s": round(over_rate, 1),
+                    "sustained_req_s": round(N / o_wall, 1),
+                    "p50_ttft_ms": round(o_p50, 1),
+                    "p99_ttft_ms": round(o_p99, 1),
+                    "tpot_p50_ms": round(o_tpot50, 2),
+                    "decode_tok_s": round(o_decode, 1),
+                    "preemptions": o_preempts,
+                },
             }
         ),
         flush=True,

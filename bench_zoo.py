@@ -1,0 +1,204 @@
+"""Model-zoo benchmark: on-chip decode + prefill for the families the
+headline benches don't cover (VERDICT r4 missing #1 / next-step #2):
+
+  gpt2         GPT-2 124M, INT8        — fixed-overhead bound (tiny weights)
+  granite-moe  Granite-3.0 1B-a400m, INT8 — weight-stream bound (the exact
+               dense MoE path streams EVERY expert per decode step)
+  granite4     Granite-4.0 350M hybrid, bf16 — Mamba2 state-update bound
+               (per-slot SSM state read+write dominates, not weights)
+  mistral      Mistral-7B shapes, INT4, sliding-window 4096 — weight-stream
+               bound (window keeps KV traffic flat)
+
+Random weights at real shapes (no checkpoint egress in this environment) —
+identical bytes/FLOPs per token as the real checkpoints. Each family runs
+bench.py's protocol: one warmup round (compiles), ROUNDS timed rounds,
+median decode tok/s + spread, plus a stated bound and the measured fraction
+of it. Prints ONE JSON line per family; `--families a,b` selects.
+
+Reference CPU baselines (BASELINE.md): GPT-2 ~6 tok/s decode, Granite-MoE
+~2.8 tok/s; the hybrid and Mistral have no reference numbers (the reference
+lists Mistral as config-only and never benches Granite 4.0).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from tools.bench_common import log
+
+
+def family_specs():
+    from nanovllm_tpu.models.presets import (
+        gpt2_config, granite4_350m_hybrid_config, granite_moe_1b_config,
+        mistral_7b_config,
+    )
+
+    return {
+        "gpt2": dict(
+            cfg=gpt2_config("small"), quant="int8", lanes=64, burst=32,
+            prompt=128, decode=120, kv_pool=1 << 30, max_model_len=512,
+            baseline=6.0, bound="fixed-overhead (124M weights stream in ~0.1ms)",
+        ),
+        "granite-moe": dict(
+            cfg=granite_moe_1b_config(), quant="int8", lanes=64, burst=32,
+            prompt=128, decode=120, kv_pool=1 << 30, max_model_len=512,
+            baseline=2.8, bound="weight stream (dense MoE: all 32 experts/step)",
+        ),
+        "granite4": dict(
+            cfg=granite4_350m_hybrid_config(), quant="none", lanes=32, burst=32,
+            prompt=128, decode=120, kv_pool=1 << 30, max_model_len=512,
+            baseline=None, bound="Mamba2 state update (read+write [H,P,N] f32 x 24 layers x lanes)",
+        ),
+        "mistral": dict(
+            cfg=mistral_7b_config(), quant="int4", lanes=32, burst=64,
+            prompt=128, decode=120, kv_pool=1 << 30, max_model_len=512,
+            baseline=None, bound="weight stream (INT4 + group scales; window keeps KV flat)",
+        ),
+    }
+
+
+def build_params(name, cfg, quant):
+    from nanovllm_tpu.io.loader import quantize_params
+    from nanovllm_tpu.models import model as M
+
+    cache = f"/tmp/nanovllm_zoo_{name}_{quant}_v1.pkl"
+    t0 = time.time()
+    if os.path.exists(cache):
+        log(f"[{name}] loading cached weights...")
+        with open(cache, "rb") as f:
+            params_np = pickle.load(f)
+    else:
+        log(f"[{name}] building random weights at real shapes...")
+        params_np = M.init_params(cfg, 0, numpy=True)
+        if quant != "none":
+            params_np = quantize_params(params_np, quant)
+        try:
+            with open(cache, "wb") as f:
+                pickle.dump(params_np, f)
+        except OSError:
+            pass
+    if not cfg.is_hybrid:
+        params_np = M.fuse_qkv_params(params_np)
+    params = M.to_device_params(params_np, cfg)
+    log(f"[{name}] weights ready in {time.time()-t0:.0f}s")
+    return params
+
+
+def mamba_state_bytes(cfg, lanes):
+    from nanovllm_tpu.ops import mamba2 as mo
+
+    n_mamba = mo.num_mamba_layers(cfg)
+    H, P, N = cfg.mamba_n_heads, cfg.mamba_head_dim, cfg.mamba_d_state
+    ssm = n_mamba * lanes * H * P * N * 4
+    conv = n_mamba * lanes * (cfg.mamba_d_conv - 1) * (
+        H * P + 2 * cfg.mamba_n_groups * N
+    ) * 4
+    return ssm + conv
+
+
+def run_family(name, spec, rounds):
+    import jax
+
+    from nanovllm_tpu.config import EngineConfig
+    from nanovllm_tpu.engine.llm import LLM
+    from nanovllm_tpu.sampling_params import SamplingParams
+
+    cfg = spec["cfg"]
+    B = spec["lanes"]
+    params = build_params(name, cfg, spec["quant"])
+    ecfg = EngineConfig(
+        max_num_batched_tokens=4096, max_num_seqs=B,
+        max_model_len=spec["max_model_len"], kv_block_size=128,
+        kv_pool_bytes=spec["kv_pool"], max_decode_slots=B,
+        min_prefill_bucket=128, eos_token_id=cfg.eos_token_ids[0],
+        quantization=spec["quant"], decode_burst=spec["burst"],
+        enable_prefix_caching=False, prefill_fixed_groups=True,
+    )
+    llm = LLM(model_config=cfg, engine_config=ecfg, params=params)
+    eng = llm.engine
+    rng = np.random.default_rng(0)
+    prompts = [
+        rng.integers(1, cfg.vocab_size, size=spec["prompt"]).tolist()
+        for _ in range(B)
+    ]
+    sp = SamplingParams(
+        temperature=0.0, max_tokens=spec["decode"], ignore_eos=True
+    )
+
+    log(f"[{name}] warmup (compiling)...")
+    t0 = time.time()
+    for p in prompts:
+        eng.add_request(p, sp)
+    while not eng.is_finished():
+        eng.step()
+    log(f"[{name}] warmup done in {time.time()-t0:.0f}s")
+
+    dec, pre = [], []
+    for r in range(rounds):
+        for k in eng.metrics:
+            eng.metrics[k] = 0.0 if isinstance(eng.metrics[k], float) else 0
+        for p in prompts:
+            eng.add_request(p, sp)
+        while not eng.is_finished():
+            eng.step()
+        m = eng.metrics
+        dec.append(m["decode_tokens"] / m["decode_time"])
+        pre.append(m["prefill_tokens"] / m["prefill_time"])
+        log(f"[{name}] round {r}: decode {dec[-1]:.1f} tok/s, prefill {pre[-1]:.1f}")
+
+    decode_tok_s = float(np.median(dec))
+    spread = 100.0 * (max(dec) - min(dec)) / decode_tok_s
+
+    # Stated bound: bytes a decode step cannot avoid streaming.
+    param_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(params))
+    bound_bytes = param_bytes
+    if cfg.is_hybrid:
+        bound_bytes += 2 * mamba_state_bytes(cfg, B)  # state read + write
+    HBM_BW = 819e9  # v5e datasheet; fusion-measured streams run higher
+    floor_tok_s = B / (bound_bytes / HBM_BW)
+
+    baseline = spec["baseline"]
+    out = {
+        "metric": f"{name} batched decode throughput (1 chip, {spec['quant']}, {B} lanes)",
+        "value": round(decode_tok_s, 1),
+        "unit": "tok/s",
+        "vs_baseline": None if baseline is None else round(decode_tok_s / baseline, 1),
+        "prefill_tok_s": round(float(np.median(pre)), 1),
+        "decode_rounds_tok_s": [round(d, 1) for d in dec],
+        "decode_spread_pct": round(spread, 1),
+        "bound": spec["bound"],
+        "bound_bytes_per_step": int(bound_bytes),
+        "bound_fraction_at_819GBps": round(decode_tok_s / floor_tok_s, 3),
+    }
+    print(json.dumps(out), flush=True)
+    llm.engine.close()
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", default="gpt2,granite-moe,granite4,mistral")
+    ap.add_argument("--rounds", type=int, default=3)
+    args = ap.parse_args()
+    specs = family_specs()
+    results = []
+    for name in args.families.split(","):
+        name = name.strip()
+        if name not in specs:
+            log(f"unknown family {name}; have {list(specs)}")
+            continue
+        results.append(run_family(name, specs[name], args.rounds))
+    return 0 if results else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

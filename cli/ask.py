@@ -33,10 +33,10 @@ def main(argv=None):
     ap.add_argument("--tensor-parallel-size", type=int, default=1,
                     help="shard attention heads / FFN / experts over this many chips")
     ap.add_argument("--context-parallel", action="store_true",
-                    help="ring-attention prefill for long FRESH prompts over "
-                         "the mesh ('data' axis when dp>1, else 'model'); "
-                         "prompts with a cached prefix fall back to dense "
-                         "prefill, hybrids excluded")
+                    help="ring-attention prefill for long prompts over the "
+                         "mesh ('data' axis when dp>1, else 'model'); cached "
+                         "prefixes page in from the pool as an extra flash "
+                         "source; hybrids excluded")
     ap.add_argument("--prefill-chunk-tokens", type=int, default=0,
                     help="admit long prompts in chunks of at most this many "
                          "tokens per step (0 = whole-prompt); bounds "

@@ -297,12 +297,13 @@ class EngineConfig:
     # when data_parallel_size > 1 (weights replicated over it — the clean
     # case); on a tp-only mesh it falls back to 'model' (GSPMD adds
     # per-layer weight/activation collectives — bandwidth for memory).
-    # GATES (runner._cp_applies): the prompt must be FRESH — a prefix-cache
-    # hit silently falls back to the dense prefill path (latency cliff on
-    # long shared-prefix prompts); hybrid (Mamba2) models are excluded
-    # (sequential state scan); the padded chunk must be >= cp_min_tokens and
-    # divisible by the CP axis size; chunked-prefill admissions are excluded
-    # (the in-flight chunk must BE the whole context).
+    # GATES (runner._cp_applies): hybrid (Mamba2) models are excluded
+    # (sequential state scan); the padded SUFFIX (prompt minus any cached
+    # prefix) must be >= cp_min_tokens and divisible by the CP axis size;
+    # mid-chunk-train admissions are excluded (the in-flight chunk must BE
+    # the whole suffix). Prefix-cache hits STAY on CP (r5): the suffix
+    # ring-attends while the prefix KV pages in from the pool as a chunked
+    # flash source (ops/ring_attention.py prefix operands).
     context_parallel: bool = False
     cp_min_tokens: int = 1024
     # Chunked prefill (scheduler policy): admit long prompts in chunks of at

@@ -314,12 +314,13 @@ class TPUModelRunner:
             self._prefill_cache[key] = jax.jit(fn, donate_argnums=(7, 8))
         return self._prefill_cache[key]
 
-    def _get_prefill_cp(self, T: int, nb: int):
+    def _get_prefill_cp(self, T: int, nb: int, has_prefix: bool = False):
         """Context-parallel prefill program: token dim sharded over the CP
         axis ('data' when dp>1, else 'model' on tp-only meshes), ring
         attention over the in-flight chunk (see M.prefill_chunk cp=). One
-        compiled program per (T, nb) bucket."""
-        key = ("cp", self._cp_axis, T, nb)
+        compiled program per (T, nb, has_prefix) bucket; has_prefix adds the
+        pool-prefix flash source (prefix-cached prompts stay on CP)."""
+        key = ("cp", self._cp_axis, T, nb, has_prefix)
         if key not in self._prefill_cache:
             cfg = self.mcfg
             bs = self.ecfg.kv_block_size
@@ -331,7 +332,7 @@ class TPUModelRunner:
                 logits, pool, ms = M.prefill_chunk(
                     params, cfg, tokens, positions, valid_len, context_len,
                     block_table, slot_mapping, pool, mamba_state, slot_idx, bs,
-                    cp=(mesh, cp_axis),
+                    cp=(mesh, cp_axis), cp_cached_prefix=has_prefix,
                 )
                 logits = jax.lax.with_sharding_constraint(logits, rep)
                 pool = {
@@ -455,7 +456,11 @@ class TPUModelRunner:
         (vs num_layers * n_steps row-serialized scatters per burst)."""
         cfg = self.mcfg
         bs = self.ecfg.kv_block_size
-        hoist = self._pregather_fits(nb)
+        # The stash-aware paged kernel reads pool pages directly — no
+        # pregather on the long-context path.
+        hoist = (
+            not M._paged_kernel_ok(nb * bs) and self._pregather_fits(nb)
+        )
         # Pallas window-merge flush (single-chip, non-INT8 pools): replaces
         # the row-serialized XLA scatter (~12.75 ms/burst -> ~0.4 ms at the
         # bench shape). NANOVLLM_FLUSH_KERNEL=0/1 overrides for A/B.
@@ -552,15 +557,14 @@ class TPUModelRunner:
         flag = self.ecfg.deferred_kv_writes
         if flag is not None:
             return flag
-        # Auto: defer whenever (a) the per-step path would ride the XLA gather
-        # anyway (the paged Pallas kernel reads pool rows the burst hasn't
-        # flushed yet, so the kernel path keeps per-step writes), and (b) the
-        # hoisted context pregather fits the HBM cap — deferred WITHOUT the
-        # pregather measures slower than the per-step path.
-        return (
-            n_steps > 1
-            and not M._paged_kernel_ok(nb * self.block_size)
-            and self._pregather_fits(nb)
+        # Auto: defer whenever more than one step rides the dispatch AND a
+        # fast context path exists — either the hoisted pregather (short
+        # contexts; must fit the HBM cap: deferred WITHOUT it measures
+        # slower than per-step) or the stash-aware paged kernel (long
+        # contexts — r5: the kernel scores the burst stash as an extra
+        # flash block, so deferral composes with page DMAs).
+        return n_steps > 1 and (
+            M._paged_kernel_ok(nb * self.block_size) or self._pregather_fits(nb)
         )
 
     def _get_prefill_batch(self, N: int, T: int, nb: int):
@@ -651,16 +655,22 @@ class TPUModelRunner:
         a sequential state scan."""
         if not (self.ecfg.context_parallel and self._cp_axis is not None):
             return False
-        if self.mcfg.is_hybrid or seq.num_cached_tokens != 0:
+        if self.mcfg.is_hybrid:
             return False
-        if not (_is_final_chunk(seq) and seq.num_prefilled_tokens == 0):
-            return False  # chunked admission: the chunk isn't the whole context
-        Tb = bucket_length(len(seq), self.ecfg.min_prefill_bucket, self.ecfg.max_model_len)
+        if not (
+            _is_final_chunk(seq)
+            and seq.num_prefilled_tokens <= seq.num_cached_tokens
+        ):
+            return False  # mid-chunk-train: the chunk isn't the whole suffix
+        suffix = len(seq) - seq.num_cached_tokens
+        Tb = bucket_length(suffix, self.ecfg.min_prefill_bucket, self.ecfg.max_model_len)
         return Tb >= self.ecfg.cp_min_tokens and Tb % self._cp_size == 0
 
     def _prefill_one_cp(self, seq: Sequence) -> jnp.ndarray:
-        """One sequence's fresh prompt, token dim sharded over the CP axis."""
-        chunk = seq.token_ids
+        """One sequence's prompt (suffix past any cached prefix), token dim
+        sharded over the CP axis."""
+        start = seq.num_cached_tokens
+        chunk = seq.token_ids[start:]
         T_real = len(chunk)
         Tb = bucket_length(T_real, self.ecfg.min_prefill_bucket, self.ecfg.max_model_len)
         ctx_blocks = len(seq.block_table)
@@ -668,13 +678,13 @@ class TPUModelRunner:
 
         tokens = np.zeros((Tb,), np.int32)
         tokens[:T_real] = chunk
-        positions = np.arange(Tb, dtype=np.int32)
+        positions = np.arange(start, start + Tb, dtype=np.int32)
         block_table = np.zeros((nb,), np.int32)
         block_table[:ctx_blocks] = seq.block_table
         slot_mapping = kvc.make_slot_mapping(
-            block_table, 0, T_real, self.block_size, Tb, self.num_slots_flat
+            block_table, start, T_real, self.block_size, Tb, self.num_slots_flat
         )
-        fn = self._get_prefill_cp(Tb, nb)
+        fn = self._get_prefill_cp(Tb, nb, has_prefix=start > 0)
         logits, self.pool, _ = fn(
             self.params,
             self._dev(tokens, self._cp_sh),

@@ -416,6 +416,8 @@ def prefill_chunk(
     block_size: int = 16,
     all_logits: bool = False,  # True => return [T, V] (PPL eval harness)
     cp: tuple | None = None,   # (mesh, axis): context-parallel ring attention
+    cp_cached_prefix: bool = False,  # CP prompt has a prefix-cache hit: ring
+    #   over the suffix + the pool's prefix KV as a chunked flash source
 ):
     """Runs one prefill chunk; returns (last_token_logits [V], pool, mamba_state).
 
@@ -459,13 +461,30 @@ def prefill_chunk(
             k = apply_rope(k, *cos_sin)
         pool = kvc.kv_write(pool, layer, nslots, k, v, slot_mapping)
         if cp is not None:
-            # Ring attention over the in-flight chunk q/k/v (fresh prompt: the
-            # chunk is the whole context). Padded rows are monotonic-position
-            # tail keys: causally visible only to other padded rows.
-            attn = ring_attention(
-                q, k, v, positions, positions, cp_mesh, cp_axis,
-                cfg.attn_scale, cfg.sliding_window,
-            )
+            # Ring attention over the in-flight chunk q/k/v. Padded rows are
+            # monotonic-position tail keys: causally visible only to other
+            # padded rows. With a cached prefix (VERDICT r4 #9), the in-flight
+            # chunk is the SUFFIX; the prefix KV is gathered from the pool
+            # (replicated) and flash-accumulated in fixed chunks before the
+            # ring — the shared-long-prefix workload no longer falls off the
+            # CP cliff to dense prefill.
+            if cp_cached_prefix:
+                k_pre, v_pre = kvc.kv_gather(
+                    pool, layer, nslots, block_table[None, :], block_size,
+                    cfg.num_kv_heads, dtype=x.dtype,
+                )
+                attn = ring_attention(
+                    q, k, v, positions, positions, cp_mesh, cp_axis,
+                    cfg.attn_scale, cfg.sliding_window,
+                    prefix_k=k_pre[0], prefix_v=v_pre[0],
+                    prefix_positions=k_positions,
+                    prefix_len=context_len - valid_len,
+                )
+            else:
+                attn = ring_attention(
+                    q, k, v, positions, positions, cp_mesh, cp_axis,
+                    cfg.attn_scale, cfg.sliding_window,
+                )
         elif _flash_prefill_ok(S, tokens.shape[0]):
             from nanovllm_tpu.ops.pallas.flash_prefill import flash_prefill_paged
 
@@ -733,10 +752,14 @@ def decode_step(
 
 
 def create_burst_stash(cfg: ModelConfig, n_steps: int, B: int) -> dict:
-    """Lane-major [L, B, J, HD]: the (J, HD) minor dims are what both the
-    per-step attention read and the Pallas flush kernel's block specs want
-    (TPU tiling requires the window's minor dims sublane/lane-aligned)."""
-    shape = (cfg.num_layers, B, n_steps, cfg.num_kv_heads * cfg.head_dim)
+    """Step-major [L, J, B, HD]: the per-step write (.at[layer, step]) is a
+    contiguous [B, HD] slab and the per-step attention read ('jbhd' einsum)
+    is slice-fused — XLA carries it with zero relayout copies. (A lane-major
+    carry was tried for the flush kernel's benefit: XLA kept the physical
+    layout step-major anyway and inserted per-(layer, step) transpose copies
+    on every read — ~0.8-2 ms/step at 64-128 lanes. The flush kernel instead
+    transposes ONCE per burst.)"""
+    shape = (cfg.num_layers, n_steps, B, cfg.num_kv_heads * cfg.head_dim)
     dt = jnp.dtype(cfg.dtype)
     return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
 
@@ -806,6 +829,7 @@ def decode_step_burst(
     x = _embed(cfg, params, tokens, positions)
     vmask = valid_mask
     nslots = pool["k"].shape[0] // cfg.num_layers
+    nblocks = nslots // block_size
     cos_sin = None
     if cfg.position_type == PositionType.ROPE:
         cos_sin = rope_cos_sin(positions, params["rope_inv_freq"])
@@ -819,28 +843,49 @@ def decode_step_burst(
             k = apply_rope(k, *cos_sin)
         dt = stash["k"].dtype
         stash = {
-            "k": stash["k"].at[layer, :, step_idx].set(k.reshape(B, -1).astype(dt)),
-            "v": stash["v"].at[layer, :, step_idx].set(v.reshape(B, -1).astype(dt)),
+            "k": stash["k"].at[layer, step_idx].set(k.reshape(B, -1).astype(dt)),
+            "v": stash["v"].at[layer, step_idx].set(v.reshape(B, -1).astype(dt)),
         }
-        layout = "bshd"
-        if k_ctx_pre is not None:
-            k_ctx, v_ctx = k_ctx_pre[layer], v_ctx_pre[layer]
-            if ctx_transposed:
-                # Kernel output is already [B, Hkv, D, S] — consume with NO
-                # reshape (a reshape here defeats XLA's slice fusion and
-                # re-materializes every layer's slice per step).
-                layout = "bhds"
-        else:
-            k_ctx, v_ctx = kvc.kv_gather(
-                pool, layer, nslots, block_tables, block_size, cfg.num_kv_heads, dtype=x.dtype
+        J = stash["k"].shape[1]
+        if (
+            k_ctx_pre is None
+            and J % 8 == 0
+            and _paged_kernel_ok(block_tables.shape[1] * block_size)
+        ):
+            # Long-context stash-aware path (VERDICT r4 #4): the Pallas paged
+            # kernel walks this layer's pool pages (ctx0-1 valid rows) AND
+            # scores the in-flight burst stash as one extra flash block — so
+            # burst-deferred KV writes compose with exact-traffic page DMAs
+            # instead of being mutually exclusive.
+            from nanovllm_tpu.ops.pallas.paged_attention import paged_attention_decode
+
+            bt_l = block_tables + layer * nblocks
+            attn = paged_attention_decode(
+                q, pool["k"], pool["v"], bt_l, ctx0 - 1,
+                cfg.num_kv_heads, block_size, cfg.attn_scale, cfg.sliding_window,
+                k_scale_l=pool.get("k_scale"), v_scale_l=pool.get("v_scale"),
+                stash_k=stash["k"][layer], stash_v=stash["v"][layer],
+                step_idx=step_idx,
             )
-        J = stash["k"].shape[2]
-        sk = stash["k"][layer].reshape(B, J, cfg.num_kv_heads, cfg.head_dim)
-        sv = stash["v"][layer].reshape(B, J, cfg.num_kv_heads, cfg.head_dim)
-        attn = attention_decode_stashed(
-            q, k_ctx, v_ctx, sk, sv, ctx0, step_idx, cfg.attn_scale,
-            cfg.sliding_window, ctx_layout=layout,
-        )
+        else:
+            layout = "bshd"
+            if k_ctx_pre is not None:
+                k_ctx, v_ctx = k_ctx_pre[layer], v_ctx_pre[layer]
+                if ctx_transposed:
+                    # Kernel output is already [B, Hkv, D, S] — consume with
+                    # NO reshape (a reshape here defeats XLA's slice fusion
+                    # and re-materializes every layer's slice per step).
+                    layout = "bhds"
+            else:
+                k_ctx, v_ctx = kvc.kv_gather(
+                    pool, layer, nslots, block_tables, block_size, cfg.num_kv_heads, dtype=x.dtype
+                )
+            sk = stash["k"][layer].reshape(J, B, cfg.num_kv_heads, cfg.head_dim)
+            sv = stash["v"][layer].reshape(J, B, cfg.num_kv_heads, cfg.head_dim)
+            attn = attention_decode_stashed(
+                q, k_ctx, v_ctx, sk, sv, ctx0, step_idx, cfg.attn_scale,
+                cfg.sliding_window, ctx_layout=layout,
+            )
         attn_out = linear(blk["attn"]["o"], attn.reshape(B, -1))
         if cfg.block_style == BlockStyle.PARALLEL:
             h2 = h if cfg.parallel_single_ln else apply_norm(blk["ln2"], x, cfg.norm_eps)
@@ -879,7 +924,7 @@ def decode_step_burst(
 def flush_burst_stash(
     pool: dict,
     cfg: ModelConfig,
-    stash: dict,                # {k, v: [L, B, J, Hkv*D]}
+    stash: dict,                # {k, v: [L, J, B, Hkv*D]}
     block_tables: jnp.ndarray,  # [B, nb]
     positions0: jnp.ndarray,    # [B] position of the burst's FIRST token
     active: jnp.ndarray,        # [B] bool
@@ -896,19 +941,19 @@ def flush_burst_stash(
     if use_kernel:
         from nanovllm_tpu.ops.pallas import kv_flush
 
-        if kv_flush.flush_supported(stash["k"].shape[2], block_size, pool):
+        if kv_flush.flush_supported(stash["k"].shape[1], block_size, pool):
             return kv_flush.flush_burst_stash_pallas(
                 pool, stash, block_tables, positions0, active, block_size,
                 max_positions or (1 << 30),
             )
-    L, B, J, HD = stash["k"].shape
+    L, J, B, HD = stash["k"].shape
     bs = block_size
     nslots = pool["k"].shape[0] // L
     total = pool["k"].shape[0]
-    pos = positions0[:, None] + jnp.arange(J, dtype=jnp.int32)[None, :]  # [B, J]
-    blk = jnp.take_along_axis(block_tables, pos // bs, axis=1)  # [B, J]
-    rows = blk * bs + pos % bs  # per-layer slot ids [B, J]
-    keep = active[:, None]
+    pos = positions0[None, :] + jnp.arange(J, dtype=jnp.int32)[:, None]  # [J, B]
+    blk = jnp.take_along_axis(block_tables, (pos // bs).T, axis=1).T  # [J, B]
+    rows = blk * bs + pos % bs  # per-layer slot ids [J, B]
+    keep = active[None, :]
     if max_positions:
         # Positions past the model limit have no allocated block (generation
         # is clamped there) — drop them rather than write via a clamped index.
@@ -918,8 +963,8 @@ def flush_burst_stash(
     rows_all = jnp.where(rows[None, :, :] >= nslots, total, rows_all).reshape(-1)
     out = dict(pool)
     if pool["k"].dtype == jnp.int8:
-        k = stash["k"].reshape(L * B * J, cfg.num_kv_heads, cfg.head_dim)
-        v = stash["v"].reshape(L * B * J, cfg.num_kv_heads, cfg.head_dim)
+        k = stash["k"].reshape(L * J * B, cfg.num_kv_heads, cfg.head_dim)
+        v = stash["v"].reshape(L * J * B, cfg.num_kv_heads, cfg.head_dim)
         qk, sk = kvc._quantize_kv(k)
         qv, sv = kvc._quantize_kv(v)
         out["k"] = pool["k"].at[rows_all].set(qk.reshape(-1, HD), mode="drop")

@@ -90,8 +90,8 @@ def attention_decode_stashed(
     q: jnp.ndarray,        # [B, H, D]
     k_ctx: jnp.ndarray,    # [B, S, Hkv, D] pool context (positions < ctx0-1 valid)
     v_ctx: jnp.ndarray,    # [B, S, Hkv, D]
-    stash_k: jnp.ndarray,  # [B, n_steps, Hkv, D] burst K (step j = position ctx0-1+j)
-    stash_v: jnp.ndarray,  # [B, n_steps, Hkv, D]
+    stash_k: jnp.ndarray,  # [n_steps, B, Hkv, D] burst K (step j = position ctx0-1+j)
+    stash_v: jnp.ndarray,  # [n_steps, B, Hkv, D]
     ctx0: jnp.ndarray,     # [B] int32 context length at burst start (incl. 1st burst token)
     step_idx,              # scalar int32: current burst step i
     scale: float,
@@ -112,13 +112,13 @@ def attention_decode_stashed(
     B = k_ctx.shape[0]
     S = k_ctx.shape[-1] if transposed else k_ctx.shape[1]
     Hkv = k_ctx.shape[1] if transposed else k_ctx.shape[-2]
-    J = stash_k.shape[1]
+    J = stash_k.shape[0]
     qg = _grouped(q, Hkv).astype(jnp.float32)  # [B, Hkv, G, D]
     if transposed:
         s_ctx = jnp.einsum("bhgd,bhds->bhgs", qg, k_ctx.astype(jnp.float32)) * scale
     else:
         s_ctx = jnp.einsum("bhgd,bshd->bhgs", qg, k_ctx.astype(jnp.float32)) * scale
-    s_stash = jnp.einsum("bhgd,bjhd->bhgj", qg, stash_k.astype(jnp.float32)) * scale
+    s_stash = jnp.einsum("bhgd,jbhd->bhgj", qg, stash_k.astype(jnp.float32)) * scale
 
     pos = jnp.arange(S, dtype=jnp.int32)[None, :]  # [1, S]
     ctx_mask = pos < (ctx0[:, None] - 1)           # pool holds positions < ctx0-1
@@ -138,7 +138,7 @@ def attention_decode_stashed(
         out = jnp.einsum("bhgs,bhds->bhgd", probs[..., :S], v_ctx.astype(jnp.float32))
     else:
         out = jnp.einsum("bhgs,bshd->bhgd", probs[..., :S], v_ctx.astype(jnp.float32))
-    out += jnp.einsum("bhgj,bjhd->bhgd", probs[..., S:], stash_v.astype(jnp.float32))
+    out += jnp.einsum("bhgj,jbhd->bhgd", probs[..., S:], stash_v.astype(jnp.float32))
     return out.reshape(B, q.shape[1], -1).astype(q.dtype)
 
 

@@ -108,7 +108,7 @@ def _kernel(
 
 def flush_burst_stash_pallas(
     pool: dict,
-    stash: dict,                # {k, v: [L, B, J, HD]}
+    stash: dict,                # {k, v: [L, J, B, HD]} (carry layout)
     block_tables: jnp.ndarray,  # [B, nb] int32
     positions0: jnp.ndarray,    # [B] int32 position of the burst's FIRST token
     active: jnp.ndarray,        # [B] bool
@@ -117,8 +117,12 @@ def flush_burst_stash_pallas(
 ) -> dict:
     """Drop-in replacement for models.model.flush_burst_stash (bf16/f32
     pools). Writes every kept stash row into its pool slot; other pool rows
-    are untouched."""
-    L, B, J, HD = stash["k"].shape
+    are untouched. The carry-layout stash is transposed lane-major ONCE here
+    (one small copy per burst — a lane-major carry instead costs XLA
+    per-(layer, step) relayout copies on every attention read)."""
+    L, J, B, HD = stash["k"].shape
+    stash_k = jnp.swapaxes(stash["k"], 1, 2)  # [L, B, J, HD]
+    stash_v = jnp.swapaxes(stash["v"], 1, 2)
     bs = block_size
     total = pool["k"].shape[0]
     nslots = total // L
@@ -181,7 +185,7 @@ def flush_burst_stash_pallas(
         interpret=_INTERPRET,
     )(
         chunks, p0, keep_any.astype(jnp.int32),
-        stash["k"], stash["v"], pool["k"], pool["v"],
+        stash_k, stash_v, pool["k"], pool["v"],
     )
     out = dict(pool)
     out["k"] = out_k

@@ -46,8 +46,14 @@ def set_interpret(flag: bool) -> None:
 def _kernel(
     # scalar prefetch
     bt_ref,      # [B, nb] int32 block tables
-    ctx_ref,     # [B] int32 context lengths
-    # inputs (quantized variant appends kscale/vscale pools [Hkv, slots] f32)
+    ctx_ref,     # [B] int32 valid POOL positions per lane
+    step_ref,    # [1] int32 burst step (0 when not stashed)
+    # inputs (quantized variant appends kscale/vscale pools [Hkv, slots] f32;
+    # stashed variant appends stash_k/stash_v as lane-major [B, J, Hkv*D]
+    # VMEM blocks — the wrapper transposes the step-major carry slice, a
+    # ~100 KB copy per call; an in-kernel DMA of the strided [J, HD] lane
+    # slice is NOT expressible: Mosaic requires second-minor slice sizes to
+    # be sublane multiples, and the lane slice is 1 wide)
     q_ref,       # [1, Hkv*Gp, Hkv*D] block-diagonal queries for this lane
     kpool_ref,   # [slots, Hkv*D] in ANY/HBM (bf16/f32 or int8)
     vpool_ref,
@@ -59,19 +65,29 @@ def _kernel(
     window: int,
     quantized: bool,
     npg: int,    # pages fetched + scored per loop iteration
+    has_stash: bool = False,
 ):
+    refs = list(refs)
     if quantized:
-        (kspool_ref, vspool_ref, o_ref,
-         kbuf, vbuf, ksbuf, vsbuf, acc, m_i, l_i, sems) = refs
-    else:
-        (o_ref, kbuf, vbuf, acc, m_i, l_i, sems) = refs
+        kspool_ref, vspool_ref = refs.pop(0), refs.pop(0)
+    if has_stash:
+        stash_k_ref, stash_v_ref = refs.pop(0), refs.pop(0)
+    (o_ref, kbuf, vbuf, *rest) = refs
+    if quantized:
+        ksbuf, vsbuf = rest.pop(0), rest.pop(0)
+    acc, m_i, l_i, sems = rest
     b = pl.program_id(0)
     ctx = ctx_ref[b]
+    step = step_ref[0]
+    # Query position: the current token (ctx-1) in the plain path; with a
+    # stash the pool holds ctx = ctx0-1 pre-burst positions and the query
+    # sits at position ctx + step (its K/V live in the stash, row `step`).
+    q_pos = ctx + step if has_stash else ctx - 1
     n_pages = pl.cdiv(ctx, bs)
     n_chunks = pl.cdiv(n_pages, npg)
     first_chunk = jnp.int32(0)
     if window > 0:
-        first_chunk = (jnp.maximum(ctx - window, 0) // bs) // npg
+        first_chunk = (jnp.maximum(q_pos + 1 - window, 0) // bs) // npg
 
     def dmas(slot, jc):
         """Fetch the npg pages of chunk jc into buffer `slot`. Page indices
@@ -102,6 +118,7 @@ def _kernel(
     acc[...] = jnp.zeros_like(acc)
     m_i[...] = jnp.full_like(m_i, NEG_INF)
     l_i[...] = jnp.zeros_like(l_i)
+
 
     @pl.when(first_chunk < n_chunks)
     def _():
@@ -138,7 +155,7 @@ def _kernel(
             )
             mask = pos < ctx
             if window > 0:
-                mask = mask & (pos > ctx - 1 - window)
+                mask = mask & (pos > q_pos - window)
             s = jnp.where(mask, s, NEG_INF)
 
             m_prev = m_i[:, :1]
@@ -162,6 +179,34 @@ def _kernel(
         return None
 
     jax.lax.fori_loop(0, pl.cdiv(nb, npg), body, None)
+
+    if has_stash:
+        # Score the burst stash (this lane's in-flight K/V, unquantized) as
+        # one more flash block: stash row j holds position ctx + j, causal
+        # within the burst (j <= step).
+        sk = stash_k_ref[0].astype(jnp.float32)  # [J, Hkv*D]
+        sv = stash_v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q_ref[0].astype(jnp.float32), sk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [Hkv*Gp, J]
+        jj = jax.lax.broadcasted_iota(jnp.int32, (1, sk.shape[0]), 1)
+        smask = jj <= step
+        if window > 0:
+            smask = smask & (ctx + jj > q_pos - window)
+        s = jnp.where(smask, s, NEG_INF)
+        m_prev = m_i[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_i[...] = jnp.broadcast_to(
+            alpha * l_i[:, :1] + jnp.sum(p, axis=1, keepdims=True), l_i.shape
+        )
+        acc[...] = acc[...] * alpha + jax.lax.dot_general(
+            p, sv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_i[...] = jnp.broadcast_to(m_new, m_i.shape)
+
     denom = jnp.maximum(l_i[:, :1], 1e-30)
     o_ref[0] = (acc[...] / denom).astype(o_ref.dtype)
 
@@ -179,10 +224,19 @@ def paged_attention_decode(
     k_scale_l: jnp.ndarray | None = None,  # [Hkv, slots] f32 (INT8 pools)
     v_scale_l: jnp.ndarray | None = None,
     pages_per_iter: int = 0,  # 0 = auto (min(4, nb))
+    stash_k: jnp.ndarray | None = None,  # [J, B, Hkv*D] burst K (deferred writes)
+    stash_v: jnp.ndarray | None = None,
+    step_idx=None,  # scalar int32 burst step (required with a stash)
 ) -> jnp.ndarray:
     """Returns [B, H, D] in q.dtype. Pass k/v scale pools for INT8 KV — the
     kernel folds K scales into scores and V scales into the PV probabilities
     (exact, no dequantized KV ever materializes).
+
+    stash_k/stash_v/step_idx: burst-deferred KV writes (VERDICT r4 #4) — the
+    pool holds only pre-burst context (context_lens = ctx0 - 1 valid rows)
+    and the in-flight burst's K/V ride a [J, B, Hkv*D] stash scored as one
+    extra flash block (row j = position ctx + j, causal j <= step_idx).
+    Numerics oracle: ops.attention.attention_decode_stashed.
 
     pages_per_iter batches several page DMAs per flash iteration: at long
     context x many lanes the kernel's cost is per-iteration DMA-wait
@@ -216,6 +270,7 @@ def paged_attention_decode(
         while npg > 1 and fixed + npg * per_page > VMEM_BUDGET:
             npg -= 1
     npg = min(npg, nb)
+    has_stash = stash_k is not None
 
     # Build block-diagonal queries [B, Hkv*Gp, Hkv*D].
     qg = q.reshape(B, Hkv, G, D)
@@ -227,12 +282,16 @@ def paged_attention_decode(
     # times — exactly the g-major pattern.
     qfull = jnp.einsum("bhgd,hk->bghkd", qg, eye).reshape(B, Gp * Hkv, Hkv * D)
 
+    if step_idx is None:
+        step_arr = jnp.zeros((1,), jnp.int32)
+    else:
+        step_arr = jnp.reshape(step_idx, (1,)).astype(jnp.int32)
     in_specs = [
         pl.BlockSpec((1, Hkv * Gp, Hkv * D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
-    operands = [block_tables, context_lens, qfull, k_pool_l, v_pool_l]
+    operands = [block_tables, context_lens, step_arr, qfull, k_pool_l, v_pool_l]
     scratch = [
         pltpu.VMEM((2, npg * block_size, Hkv * D), k_pool_l.dtype),
         pltpu.VMEM((2, npg * block_size, Hkv * D), v_pool_l.dtype),
@@ -244,6 +303,17 @@ def paged_attention_decode(
             pltpu.VMEM((2, Hkv, npg * block_size), jnp.float32),
             pltpu.VMEM((2, Hkv, npg * block_size), jnp.float32),
         ]
+    if has_stash:
+        J = stash_k.shape[0]
+        assert J % 8 == 0, "stash-aware paged kernel needs J % 8 == 0"
+        in_specs += [
+            pl.BlockSpec((1, J, Hkv * D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, J, Hkv * D), lambda b, *_: (b, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        operands += [
+            jnp.swapaxes(stash_k.reshape(J, B, Hkv * D), 0, 1),
+            jnp.swapaxes(stash_v.reshape(J, B, Hkv * D), 0, 1),
+        ]
     scratch += [
         pltpu.VMEM((Hkv * Gp, Hkv * D), jnp.float32),
         pltpu.VMEM((Hkv * Gp, 128), jnp.float32),
@@ -251,7 +321,7 @@ def paged_attention_decode(
         pltpu.SemaphoreType.DMA((2, npg, 4 if quantized else 2)),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -263,6 +333,7 @@ def paged_attention_decode(
         functools.partial(
             _kernel, bs=block_size, nb=nb, Gp=Gp, scale=scale,
             window=sliding_window, quantized=quantized, npg=npg,
+            has_stash=has_stash,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv * Gp, Hkv * D), jnp.float32),

@@ -181,3 +181,38 @@ def test_cp_prefill_model_logits_match_dense():
     np.testing.assert_allclose(
         np.asarray(got_pool["k"]), np.asarray(ref_pool["k"]), rtol=2e-4, atol=2e-4
     )
+
+
+def test_cp_prefill_over_cached_prefix_matches():
+    """CP over a cached prefix (VERDICT r4 #9): a shared-long-prefix prompt
+    no longer falls off the CP cliff — the suffix ring-attends while the
+    prefix KV is paged in from the pool as a chunked flash source. Outputs
+    must match the single-device prefix-cached engine exactly, and the
+    has_prefix CP program must be the one that ran."""
+    cfg = tiny_cfg()
+    params = M.init_params(cfg, seed=29)
+    prefix = [2 + (i * 5) % 89 for i in range(64)]
+    suffix1 = [7 + (i * 3) % 89 for i in range(64)]
+    suffix2 = [11 + (i * 3) % 89 for i in range(64)]
+    p1, p2 = prefix + suffix1, prefix + suffix2
+
+    e0 = ecfg(enable_prefix_caching=True)
+    llm0 = LLM(model_config=cfg, engine_config=e0,
+               runner=TPUModelRunner(cfg, e0, params=params))
+    ref1 = llm0.generate([p1], SP)[0]
+    ref2 = llm0.generate([p2], SP)[0]
+    assert ref2.num_cached_tokens >= 64  # the reference itself hit the cache
+
+    e2 = ecfg(data_parallel_size=4, context_parallel=True, cp_min_tokens=32,
+              enable_prefix_caching=True)
+    mesh = make_mesh(tp_size=1, dp_size=4)
+    with mesh:
+        r2 = TPUModelRunner(cfg, e2, params=params, mesh=mesh)
+        llm2 = LLM(model_config=cfg, engine_config=e2, runner=r2)
+        out1 = llm2.generate([p1], SP)[0]  # fresh prompt: plain CP
+        out2 = llm2.generate([p2], SP)[0]  # warm prefix: CP + prefix source
+    cp_keys = [k for k in r2._prefill_cache if k[0] == "cp"]
+    assert any(k[4] for k in cp_keys), cp_keys  # has_prefix program compiled
+    assert out2.num_cached_tokens >= 64
+    assert out1.token_ids == ref1.token_ids
+    assert out2.token_ids == ref2.token_ids

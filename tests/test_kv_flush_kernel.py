@@ -39,8 +39,8 @@ def test_flush_kernel_matches_xla(J, bs, max_positions):
         "v": jnp.asarray(rng.standard_normal((L * nslots, HD)), jnp.float32),
     }
     stash = {
-        "k": jnp.asarray(rng.standard_normal((L, B, J, HD)), jnp.float32),
-        "v": jnp.asarray(rng.standard_normal((L, B, J, HD)), jnp.float32),
+        "k": jnp.asarray(rng.standard_normal((L, J, B, HD)), jnp.float32),
+        "v": jnp.asarray(rng.standard_normal((L, J, B, HD)), jnp.float32),
     }
     # Disjoint per-lane block tables; block 0 reserved (BlockManager invariant).
     perm = 1 + rng.permutation(num_blocks - 1)
