@@ -61,10 +61,11 @@ def main():
         min_prefill_bucket=128,
         eos_token_id=cfg.eos_token_ids[0],
         quantization="int8",
-        # Burst 32 measured best in r4 (10,691 tok/s @16 -> 13,202 @32;
-        # 12,737 @64 — the longer burst's stash/pregather overhead outweighs
-        # the remaining tunnel amortization).
-        decode_burst=int(os.environ.get("NANOVLLM_BENCH_BURST", "32")),
+        # r4 found burst 32 > 64 because the XLA stash/pregather/flush
+        # overheads scaled with the burst; with the r5 Pallas flush +
+        # pregather kernels those are ~2.5 ms/burst total and burst 64 wins
+        # (14,436 @32 -> 15,113 @64), halving the ~29 ms tunnel share.
+        decode_burst=int(os.environ.get("NANOVLLM_BENCH_BURST", "64")),
         # Identical prompts in warmup+timed rounds: disable prefix caching so
         # the timed prefill measures real compute.
         enable_prefix_caching=False,

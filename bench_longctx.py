@@ -51,7 +51,11 @@ def main():
         kv_block_size=128, kv_pool_bytes=6 << 30, max_decode_slots=B,
         min_prefill_bucket=512, eos_token_id=128001,
         enable_prefix_caching=False,
-        decode_burst=int(os.environ.get("NANOVLLM_BENCH_BURST", "8")),
+        # r5: the stash-aware paged kernel lets burst-deferred KV compose
+        # with the page walk, so long bursts amortize the ~29ms tunnel RTT:
+        # burst 8 -> 1,524 tok/s, 32 -> 2,294, 64 -> 2,440 (r4 ceiling was
+        # 1,735 at burst 8 with per-step scatters).
+        decode_burst=int(os.environ.get("NANOVLLM_BENCH_BURST", "64")),
         kv_cache_dtype="int8",  # exercises the fused-dequant paged kernel
     )
     llm = LLM(model_config=cfg, engine_config=ecfg, params=params)

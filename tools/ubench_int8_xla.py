@@ -23,13 +23,12 @@ import jax.numpy as jnp
 from tools.bench_common import log
 
 
-def timed(fn, *args, n=20):
-    fn(*args)[0].block_until_ready()
+def timed(fn, *args, n=10):
+    np.asarray(jax.device_get(fn(*args)))  # compile + sync
     outs = []
     for _ in range(n):
         t0 = time.perf_counter()
-        r = fn(*args)
-        np.asarray(jax.device_get(r[0][0, :8]))  # true sync through the tunnel
+        np.asarray(jax.device_get(fn(*args)))  # true sync through the tunnel
         outs.append(time.perf_counter() - t0)
     return min(outs)
 
@@ -47,7 +46,7 @@ def main():
         ("lm_head", 2048, 128256),
     ]
     rng = np.random.default_rng(0)
-    REP = 8  # repeat the matmul over independent weight copies per call so
+    REP = 2  # repeat the matmul over independent weight copies per call so
     #          one timed call amortizes the fetch + dispatch overhead and the
     #          weights can't be HBM-resident-cache artifacts
 
@@ -64,25 +63,32 @@ def main():
             ss.append(jnp.asarray(sc))
         mb = qs[0].nbytes / 1e6
 
-        qls = [
-            QuantLinear(q, sc, None, "int8", K, N)
-            for q, sc in zip(qs, ss)
-        ]
+        # Enough chained matmuls that the streamed bytes (~8 GB) dominate
+        # the ~25 ms dispatch+fetch round-trip; operands perturbed per iter
+        # so XLA cannot CSE the repeats.
+        ITER = min(1024, max(32, int(8e9 / (mb * 1e6))))
 
-        def kernel_fn(x):
-            return [linear(ql, x) for ql in qls]
+        def kernel_fn(x, qs, ss):
+            acc = jnp.float32(0)
+            for i in range(ITER):
+                xi = x * (1 + jnp.bfloat16(i * 1e-8))
+                y = linear(QuantLinear(qs[i % REP], ss[i % REP], None, "int8", K, N), xi)
+                acc = acc + y[0, 0]
+            return acc
 
-        def xla_fn(x, qs=qs, ss=ss):
-            return [
-                (jax.lax.dot_general(
-                    x, q.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        def xla_fn(x, qs, ss):
+            acc = jnp.float32(0)
+            for i in range(ITER):
+                xi = x * (1 + jnp.bfloat16(i * 1e-8))
+                y = jax.lax.dot_general(
+                    xi, qs[i % REP].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                ) * s)
-                for q, s in zip(qs, ss)
-            ]
+                ) * ss[i % REP]
+                acc = acc + y[0, 0]
+            return acc
 
-        tk = timed(jax.jit(kernel_fn), x) / REP
-        tx = timed(jax.jit(xla_fn), x) / REP
+        tk = timed(jax.jit(kernel_fn), x, qs, ss) / ITER
+        tx = timed(jax.jit(xla_fn), x, qs, ss) / ITER
         print(f"{name:>8} {K}x{N:>8} {mb:7.1f} {tk*1e6:8.1f}u {tx*1e6:8.1f}u "
               f"{mb/1e3/tk:8.0f} {mb/1e3/tx:8.0f}")
 
