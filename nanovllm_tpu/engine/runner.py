@@ -434,8 +434,13 @@ class TPUModelRunner:
     # Measured (Llama-1B bench, 32 lanes, burst 16): per-step 4,265 tok/s;
     # deferred WITHOUT pregather 4,017 (regression — per-step gathers inside
     # the burst plus stash scoring lose); deferred WITH pregather 6,388.
-    # Hence auto-defer requires the pregather to fit the cap.
-    PREGATHER_BYTE_CAP = 1 << 30
+    # Hence auto-defer requires the pregather to fit the cap. r5: cap raised
+    # 1 GB -> 2.25 GB — Mistral-7B shapes at 32 lanes (1.07 GB) fell off the
+    # deferred path onto per-step scatters and measured 0.138 of their
+    # weight-stream bound; 2.25 GB also covers 128-lane Llama-1B (2.1 GB).
+    # Past the cap, short contexts take per-step decode and long contexts
+    # ride the stash-aware paged kernel (no pregather needed).
+    PREGATHER_BYTE_CAP = int(2.25 * (1 << 30))
 
     def _pregather_fits(self, nb: int) -> bool:
         import os
