@@ -70,7 +70,7 @@ def build_params(name, cfg, quant):
     from nanovllm_tpu.io.loader import quantize_params
     from nanovllm_tpu.models import model as M
 
-    cache = f"/tmp/nanovllm_zoo_{name}_{quant}_v1.pkl"
+    cache = f"/tmp/nanovllm_zoo_{name}_{quant}_v2.pkl"
     t0 = time.time()
     if os.path.exists(cache):
         log(f"[{name}] loading cached weights...")

@@ -370,9 +370,23 @@ _QUANT_MIN_SIZE = 256 * 256  # leave tiny projections (routers etc.) dense
 
 def quantize_params(params: dict, mode: str) -> dict:
     """Convert eligible dense linear weights to INT8/INT4. Embeddings, norms,
-    Mamba SSM params and small matrices stay dense."""
+    Mamba SSM params and small matrices stay dense. MoE expert stacks
+    ([X, in, out] / [X, in, out]-shaped 3D arrays) quantize per-expert
+    per-out-channel at INT8 (r5 — the dense decode path streams EVERY
+    expert per step, so expert bytes dominate MoE decode; INT4 experts stay
+    dense pending a 3D nibble layout)."""
     if mode == "none":
         return params
+
+    def quant_experts(w: np.ndarray) -> dict:
+        # w [X, K, N] -> int8 qw + per-(expert, out-channel) scales [X, N].
+        w = np.asarray(w, dtype=np.float32)
+        amax = np.max(np.abs(w), axis=1)  # [X, N]
+        scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        qw = np.clip(
+            np.rint(w / scale[:, None, :]), -127, 127
+        ).astype(np.int8)
+        return {"qw": qw, "scale": scale}
 
     def walk(node, path=()):
         if isinstance(node, dict):
@@ -381,7 +395,19 @@ def quantize_params(params: dict, mode: str) -> dict:
                 name = path[-1] if path else ""
                 if w.size >= _QUANT_MIN_SIZE and name not in ("router",):
                     return quant_ops.QuantLinear.from_dense(w, node.get("b"), mode)
-            return {k: walk(v, path + (k,)) for k, v in node.items()}
+            out = {}
+            for k, v in node.items():
+                if (
+                    mode == "int8"
+                    and path and path[-1] == "moe"
+                    and k in ("gate_up", "down")
+                    and isinstance(v, np.ndarray)
+                    and v.ndim == 3
+                ):
+                    out[k] = quant_experts(v)
+                else:
+                    out[k] = walk(v, path + (k,))
+            return out
         if isinstance(node, list):
             return [walk(v, path) for v in node]
         return node

@@ -55,16 +55,32 @@ def _route(cfg: ModelConfig, p: dict, x: jnp.ndarray):
     return top_w, top_i
 
 
+def _ew(p: dict, key: str, dtype):
+    """Expert weight stack as (stream_array, scale_or_None). Quantized
+    experts (io/loader.quantize_params) stream int8 and fold the
+    per-(expert, out-channel) scale into the einsum RESULT — XLA fuses the
+    int8->bf16 convert into the dot read (measured at parity with the
+    Pallas INT8 kernel, tools/ubench_int8_xla.py), so expert bytes halve."""
+    w = p[key]
+    if isinstance(w, dict):
+        return w["qw"].astype(dtype), w["scale"]
+    return w.astype(dtype), None
+
+
 def _expert_glu(cfg: ModelConfig, p: dict, xe: jnp.ndarray) -> jnp.ndarray:
     """Batched GLU over expert-major rows: xe [X, C, E_hid] -> [X, C, E_hid]."""
-    h = jnp.einsum(
-        "xce,xei->xci", xe, p["gate_up"].astype(xe.dtype), preferred_element_type=jnp.float32
-    ).astype(xe.dtype)
+    gu, gu_s = _ew(p, "gate_up", xe.dtype)
+    h = jnp.einsum("xce,xei->xci", xe, gu, preferred_element_type=jnp.float32)
+    if gu_s is not None:
+        h = h * gu_s[:, None, :]
+    h = h.astype(xe.dtype)
     gate, up = jnp.split(h, 2, axis=-1)
     h = jax.nn.silu(gate) * up
-    return jnp.einsum(
-        "xci,xie->xce", h, p["down"].astype(xe.dtype), preferred_element_type=jnp.float32
-    )
+    dn, dn_s = _ew(p, "down", xe.dtype)
+    y = jnp.einsum("xci,xie->xce", h, dn, preferred_element_type=jnp.float32)
+    if dn_s is not None:
+        y = y * dn_s[:, None, :]
+    return y
 
 
 def moe_forward_dispatch(
@@ -182,11 +198,17 @@ def moe_forward(
     combine = jnp.sum(combine * top_w[..., None], axis=1)  # [T, X]
 
     # Dense expert compute on the MXU: [T, E] x [X, E, 2I] -> [T, X, 2I]
-    h = jnp.einsum("te,xei->txi", x, p["gate_up"].astype(x.dtype), preferred_element_type=jnp.float32)
+    gu, gu_s = _ew(p, "gate_up", x.dtype)
+    h = jnp.einsum("te,xei->txi", x, gu, preferred_element_type=jnp.float32)
+    if gu_s is not None:
+        h = h * gu_s[None, :, :]
     h = h.astype(x.dtype)
     gate, up = jnp.split(h, 2, axis=-1)
     h = jax.nn.silu(gate) * up
-    y = jnp.einsum("txi,xie->txe", h, p["down"].astype(x.dtype), preferred_element_type=jnp.float32)
+    dn, dn_s = _ew(p, "down", x.dtype)
+    y = jnp.einsum("txi,xie->txe", h, dn, preferred_element_type=jnp.float32)
+    if dn_s is not None:
+        y = y * dn_s[None, :, :]
     out = jnp.einsum("txe,tx->te", y, combine)
     out = out.astype(x.dtype)
 

@@ -109,10 +109,18 @@ def shard_params(params: dict, cfg: ModelConfig, mesh: Mesh) -> dict:
             }
         if "moe" in blk:
             ep = P(MODEL_AXIS, None, None) if cfg.num_experts % tp == 0 else P(None, None, None)
+            def _experts(w):
+                if isinstance(w, dict):  # INT8 expert stack {qw, scale}
+                    return {
+                        "qw": _put(w["qw"], mesh, ep),
+                        "scale": _put(w["scale"], mesh, P(ep[0], None)),
+                    }
+                return _put(w, mesh, ep)
+
             b["moe"] = {
                 "router": _lin(blk["moe"]["router"], mesh, rep2),
-                "gate_up": _put(blk["moe"]["gate_up"], mesh, ep),
-                "down": _put(blk["moe"]["down"], mesh, ep),
+                "gate_up": _experts(blk["moe"]["gate_up"]),
+                "down": _experts(blk["moe"]["down"]),
             }
             if "shared" in blk["moe"]:
                 b["moe"]["shared"] = {

@@ -278,3 +278,43 @@ def test_ep_dispatch_collective_is_token_sized_all_reduce():
     token_bytes = (T + 1) * cfg.hidden_size * 4
     assert sizes, "no combine collective found in EP dispatch HLO"
     assert max(sizes) <= token_bytes + 4096, (max(sizes), token_bytes)
+
+
+def test_int8_expert_quantization_matches_dequantized_dense():
+    """INT8 expert stacks (r5): moe_forward with quantized experts must equal
+    moe_forward over the manually dequantized weights exactly (the scale is
+    folded into the einsum result — same arithmetic), on both the dense and
+    the capacity-dispatch paths."""
+    import jax
+    import numpy as np
+
+    from nanovllm_tpu.io.loader import quantize_params
+
+    cfg = make_cfg()
+    rng = np.random.default_rng(3)
+    p_np = moe_ops.init_moe_params(cfg, rng)
+    q = quantize_params({"blocks": [{"moe": p_np}]}, "int8")["blocks"][0]["moe"]
+    assert isinstance(q["gate_up"], dict) and q["gate_up"]["qw"].dtype == np.int8
+
+    # Dequantized reference weights.
+    deq = dict(p_np)
+    for key in ("gate_up", "down"):
+        qw, sc = q[key]["qw"], q[key]["scale"]
+        deq[key] = qw.astype(np.float32) * sc[:, None, :]
+
+    x = jnp.asarray(rng.standard_normal((16, cfg.hidden_size)), jnp.float32)
+    qj = jax.tree_util.tree_map(jnp.asarray, q)
+    dj = jax.tree_util.tree_map(jnp.asarray, deq)
+    out_q = moe_ops.moe_forward(cfg, qj, x)
+    out_d = moe_ops.moe_forward(cfg, dj, x)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_d), rtol=2e-5, atol=2e-5)
+
+    C = 8
+    out_qd = moe_ops.moe_forward_dispatch(cfg, qj, x, C)
+    out_dd = moe_ops.moe_forward_dispatch(cfg, dj, x, C)
+    np.testing.assert_allclose(np.asarray(out_qd), np.asarray(out_dd), rtol=2e-5, atol=2e-5)
+
+    # And the quantization error itself is small relative to fp32 experts.
+    out_f = moe_ops.moe_forward(cfg, jax.tree_util.tree_map(jnp.asarray, p_np), x)
+    rel = float(jnp.linalg.norm(out_q - out_f) / jnp.linalg.norm(out_f))
+    assert rel < 0.02, rel
