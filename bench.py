@@ -35,13 +35,14 @@ def main():
     log(f"backend={jax.default_backend()} devices={jax.devices()}")
 
     cfg = llama1b_model_config()
-    # 128 lanes (r5): the per-step KV scatter that made wide batches
-    # sub-linear in r1 is gone (burst-deferred writes + the Pallas flush
-    # kernel), and the raised pregather cap keeps the deferred path on at
-    # this width. Measured: 64 lanes/burst 64 = 15,113 tok/s; 128/64 =
-    # 16,263 (the residual per-step stash relayout copies XLA inserts at
-    # this width cap further scaling — docs/PERFORMANCE.md r5).
-    B = int(os.environ.get("NANOVLLM_BENCH_LANES", "128"))  # decode lanes
+    # 256 lanes (r5): the bhjd stash carry killed the per-(layer, step)
+    # relayout copies that capped width scaling at 128 lanes, and wider
+    # batches amortize the constant weight stream further. Measured at
+    # burst 64: 64 lanes = 15,113 tok/s; 128 = 18,454; 192 = 18,728;
+    # 256 = 21,119; 384 = 20,239 (regresses — per-lane ctx/stash traffic
+    # overtakes the amortization win). 256 lanes exactly fills the 2 GiB
+    # pool at 2 pages/lane and sits under the pregather HBM cap.
+    B = int(os.environ.get("NANOVLLM_BENCH_LANES", "256"))  # decode lanes
     # 127-token prompts (prefill bucket 128, same compute) + 129 max_tokens:
     # the prefill samples token 1, decode appends exactly 128 = two full
     # 64-step bursts with ZERO trimmed tail (a 120-token config wasted 7% of
@@ -61,7 +62,7 @@ def main():
         max_num_seqs=B,
         max_model_len=1024,
         kv_block_size=128,
-        kv_pool_bytes=2 << 30,
+        kv_pool_bytes=int(os.environ.get("NANOVLLM_BENCH_POOL", 2 << 30)),
         max_decode_slots=B,
         min_prefill_bucket=128,
         eos_token_id=cfg.eos_token_ids[0],

@@ -486,7 +486,21 @@ class TPUModelRunner:
             pregather_kernel = (
                 hoist and _os.environ["NANOVLLM_PREGATHER_KERNEL"] == "1"
             )
-        key = ("burst", nb, n_steps, hoist, flush_kernel, pregather_kernel)
+        # Stash carry layout: [L, B, Hkv, J, D] ("bhjd") on the hoisted path
+        # at wide batches — its row-major layout is what both stash dots
+        # consume, killing the per-(layer, step) relayout copies XLA inserts
+        # at 128 lanes (~2.0 ms/step at the r5 headline shape; <=64-lane
+        # programs never paid them, so they keep the step-major carry whose
+        # write is free). The stash-aware paged kernel (non-hoist
+        # long-context path) consumes step-major directly.
+        # NANOVLLM_STASH_LAYOUT overrides for A/B.
+        stash_layout = "bhjd" if (hoist and self.S >= 96) else "jbhd"
+        if _os.environ.get("NANOVLLM_STASH_LAYOUT") in ("bhjd", "jbhd"):
+            stash_layout = _os.environ["NANOVLLM_STASH_LAYOUT"]
+            if not hoist:
+                stash_layout = "jbhd"  # kernel path needs step-major
+        key = ("burst", nb, n_steps, hoist, flush_kernel, pregather_kernel,
+               stash_layout)
         if key not in self._decode_cache:
             Lh = self.hist_capacity
             rep = self._rep
@@ -497,7 +511,7 @@ class TPUModelRunner:
                    pool, mamba_state, history, sampling, step0):
                 Sn = tokens0.shape[0]
                 lanes = jnp.arange(Sn)
-                stash = M.create_burst_stash(cfg, n_steps, Sn)
+                stash = M.create_burst_stash(cfg, n_steps, Sn, layout=stash_layout)
                 if hoist:
                     k_pre, v_pre = M.pregather_context(
                         cfg, pool, block_tables, bs, use_kernel=pregather_kernel

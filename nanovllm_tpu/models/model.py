@@ -751,16 +751,29 @@ def decode_step(
 # ---------------------------------------------------------------------------
 
 
-def create_burst_stash(cfg: ModelConfig, n_steps: int, B: int) -> dict:
-    """Step-major [L, J, B, HD]: the per-step write (.at[layer, step]) is a
-    contiguous [B, HD] slab and the per-step attention read ('jbhd' einsum)
-    is slice-fused — XLA carries it with zero relayout copies. (A lane-major
-    carry was tried for the flush kernel's benefit: XLA kept the physical
-    layout step-major anyway and inserted per-(layer, step) transpose copies
-    on every read — ~0.8-2 ms/step at 64-128 lanes. The flush kernel instead
-    transposes ONCE per burst.)"""
-    shape = (cfg.num_layers, n_steps, B, cfg.num_kv_heads * cfg.head_dim)
+def create_burst_stash(
+    cfg: ModelConfig, n_steps: int, B: int, layout: str = "jbhd"
+) -> dict:
+    """Two carry layouts (per-layer leading dim L in both):
+
+    - "jbhd" (step-major [L, J, B, HD]): the per-step write (.at[layer,
+      step]) is a contiguous [B, HD] slab. Fine at <=64 lanes, but at 128
+      lanes XLA relayouts the per-layer slice for the stash dots on every
+      (layer, step) — ~2.0 ms/step of pure copies at the r5 headline shape.
+    - "bhjd" ([L, B, Hkv, J, D]): row-major puts the {J, D} tile minor,
+      which is the operand layout BOTH stash dots (QK^T contracting d, PV
+      contracting j) consume natively — scan-boundary default layout ==
+      dot layout, so no relayout copies. The write is a dim-3 DUS (row j of
+      each (b, h) tile); the flush transposes ONCE per burst.
+
+    (A lane-major [L, B, J, HD] carry was also tried for the flush kernel's
+    benefit: XLA kept the physical layout step-major anyway and inserted
+    per-(layer, step) transpose copies on every read.)"""
     dt = jnp.dtype(cfg.dtype)
+    if layout == "bhjd":
+        shape = (cfg.num_layers, B, cfg.num_kv_heads, n_steps, cfg.head_dim)
+    else:
+        shape = (cfg.num_layers, n_steps, B, cfg.num_kv_heads * cfg.head_dim)
     return {"k": jnp.zeros(shape, dt), "v": jnp.zeros(shape, dt)}
 
 
@@ -842,13 +855,29 @@ def decode_step_burst(
             q = apply_rope(q, *cos_sin)
             k = apply_rope(k, *cos_sin)
         dt = stash["k"].dtype
-        stash = {
-            "k": stash["k"].at[layer, step_idx].set(k.reshape(B, -1).astype(dt)),
-            "v": stash["v"].at[layer, step_idx].set(v.reshape(B, -1).astype(dt)),
-        }
-        J = stash["k"].shape[1]
+        bhjd = stash["k"].ndim == 5  # [L, B, Hkv, J, D] carry (see create_burst_stash)
+        if bhjd:
+            # The dim-3 DUS streams the whole per-layer stash buffer per
+            # write (~0.69 ms/step at the 128-lane headline shape) — still
+            # 3x cheaper than the relayout copies the step-major carry cost
+            # there. (A Pallas aliased-block write was tried: XLA copies the
+            # full aliased operand around every custom call in the scan
+            # body — 1.9 s per 2 bursts, 3x WORSE than the DUS. See
+            # docs/PERFORMANCE.md r5 anatomy.)
+            stash = {
+                "k": stash["k"].at[layer, :, :, step_idx].set(k.astype(dt)),
+                "v": stash["v"].at[layer, :, :, step_idx].set(v.astype(dt)),
+            }
+            J = stash["k"].shape[3]
+        else:
+            stash = {
+                "k": stash["k"].at[layer, step_idx].set(k.reshape(B, -1).astype(dt)),
+                "v": stash["v"].at[layer, step_idx].set(v.reshape(B, -1).astype(dt)),
+            }
+            J = stash["k"].shape[1]
         if (
-            k_ctx_pre is None
+            not bhjd
+            and k_ctx_pre is None
             and J % 8 == 0
             and _paged_kernel_ok(block_tables.shape[1] * block_size)
         ):
@@ -880,11 +909,15 @@ def decode_step_burst(
                 k_ctx, v_ctx = kvc.kv_gather(
                     pool, layer, nslots, block_tables, block_size, cfg.num_kv_heads, dtype=x.dtype
                 )
-            sk = stash["k"][layer].reshape(J, B, cfg.num_kv_heads, cfg.head_dim)
-            sv = stash["v"][layer].reshape(J, B, cfg.num_kv_heads, cfg.head_dim)
+            if bhjd:
+                sk, sv = stash["k"][layer], stash["v"][layer]  # [B, Hkv, J, D]
+            else:
+                sk = stash["k"][layer].reshape(J, B, cfg.num_kv_heads, cfg.head_dim)
+                sv = stash["v"][layer].reshape(J, B, cfg.num_kv_heads, cfg.head_dim)
             attn = attention_decode_stashed(
                 q, k_ctx, v_ctx, sk, sv, ctx0, step_idx, cfg.attn_scale,
                 cfg.sliding_window, ctx_layout=layout,
+                stash_layout="bhjd" if bhjd else "jbhd",
             )
         attn_out = linear(blk["attn"]["o"], attn.reshape(B, -1))
         if cfg.block_style == BlockStyle.PARALLEL:
@@ -938,14 +971,31 @@ def flush_burst_stash(
     XLA lowers the row scatter serialized at ~12.75 ms/burst on the Llama-1B
     bench shape vs ~0.4 ms for the kernel (r5 anatomy,
     docs/PERFORMANCE.md)."""
+    bhjd = stash["k"].ndim == 5  # [L, B, Hkv, J, D] carry
+    J_steps = stash["k"].shape[3] if bhjd else stash["k"].shape[1]
     if use_kernel:
         from nanovllm_tpu.ops.pallas import kv_flush
 
-        if kv_flush.flush_supported(stash["k"].shape[1], block_size, pool):
+        if kv_flush.flush_supported(J_steps, block_size, pool):
+            if bhjd:
+                # One transpose per BURST to the kernel's lane-major form
+                # (vs the per-(layer, step) copies a step-major carry costs
+                # during the burst at 128 lanes).
+                L, B, Hkv, J, D = stash["k"].shape
+                stash = {
+                    n: jnp.transpose(s, (0, 1, 3, 2, 4)).reshape(L, B, J, Hkv * D)
+                    for n, s in stash.items()
+                }
             return kv_flush.flush_burst_stash_pallas(
                 pool, stash, block_tables, positions0, active, block_size,
-                max_positions or (1 << 30),
+                max_positions or (1 << 30), lane_major=bhjd,
             )
+    if bhjd:
+        L, B, Hkv, J, D = stash["k"].shape
+        stash = {
+            n: jnp.transpose(s, (0, 3, 1, 2, 4)).reshape(L, J, B, Hkv * D)
+            for n, s in stash.items()
+        }
     L, J, B, HD = stash["k"].shape
     bs = block_size
     nslots = pool["k"].shape[0] // L

@@ -97,6 +97,7 @@ def attention_decode_stashed(
     scale: float,
     sliding_window: int = 0,
     ctx_layout: str = "bshd",  # "bhds": k/v_ctx are [B, Hkv, D, S] (S minor)
+    stash_layout: str = "jbhd",  # "bhjd": stash_k/v are [B, Hkv, n_steps, D]
 ) -> jnp.ndarray:
     """Decode attention for burst-deferred KV writes: the pool gather holds
     pre-burst context only; the burst's own K/V live in the stash and are
@@ -107,18 +108,26 @@ def attention_decode_stashed(
     ctx_layout="bhds" consumes the Pallas pregather kernel's transposed
     output directly (physically S-minor — the layout the score/PV dots want,
     saving the full-size layout copies XLA otherwise inserts per burst).
+    stash_layout="bhjd" consumes a [B, Hkv, J, D] stash carry — its row-major
+    layout has the {J, D} tile minor, which BOTH stash dots read natively;
+    the step-major [J, B, Hkv, D] carry made XLA relayout the slice per
+    (layer, step) at 128 lanes (~2.0 ms/step at the r5 headline shape).
     Returns [B, H, D]."""
     transposed = ctx_layout == "bhds"
+    stash_bhjd = stash_layout == "bhjd"
     B = k_ctx.shape[0]
     S = k_ctx.shape[-1] if transposed else k_ctx.shape[1]
     Hkv = k_ctx.shape[1] if transposed else k_ctx.shape[-2]
-    J = stash_k.shape[0]
+    J = stash_k.shape[2] if stash_bhjd else stash_k.shape[0]
     qg = _grouped(q, Hkv).astype(jnp.float32)  # [B, Hkv, G, D]
     if transposed:
         s_ctx = jnp.einsum("bhgd,bhds->bhgs", qg, k_ctx.astype(jnp.float32)) * scale
     else:
         s_ctx = jnp.einsum("bhgd,bshd->bhgs", qg, k_ctx.astype(jnp.float32)) * scale
-    s_stash = jnp.einsum("bhgd,jbhd->bhgj", qg, stash_k.astype(jnp.float32)) * scale
+    if stash_bhjd:
+        s_stash = jnp.einsum("bhgd,bhjd->bhgj", qg, stash_k.astype(jnp.float32)) * scale
+    else:
+        s_stash = jnp.einsum("bhgd,jbhd->bhgj", qg, stash_k.astype(jnp.float32)) * scale
 
     pos = jnp.arange(S, dtype=jnp.int32)[None, :]  # [1, S]
     ctx_mask = pos < (ctx0[:, None] - 1)           # pool holds positions < ctx0-1
@@ -138,7 +147,10 @@ def attention_decode_stashed(
         out = jnp.einsum("bhgs,bhds->bhgd", probs[..., :S], v_ctx.astype(jnp.float32))
     else:
         out = jnp.einsum("bhgs,bshd->bhgd", probs[..., :S], v_ctx.astype(jnp.float32))
-    out += jnp.einsum("bhgj,jbhd->bhgd", probs[..., S:], stash_v.astype(jnp.float32))
+    if stash_bhjd:
+        out += jnp.einsum("bhgj,bhjd->bhgd", probs[..., S:], stash_v.astype(jnp.float32))
+    else:
+        out += jnp.einsum("bhgj,jbhd->bhgd", probs[..., S:], stash_v.astype(jnp.float32))
     return out.reshape(B, q.shape[1], -1).astype(q.dtype)
 
 

@@ -108,21 +108,27 @@ def _kernel(
 
 def flush_burst_stash_pallas(
     pool: dict,
-    stash: dict,                # {k, v: [L, J, B, HD]} (carry layout)
+    stash: dict,                # {k, v: [L, J, B, HD]} (or lane-major, below)
     block_tables: jnp.ndarray,  # [B, nb] int32
     positions0: jnp.ndarray,    # [B] int32 position of the burst's FIRST token
     active: jnp.ndarray,        # [B] bool
     block_size: int,
     max_positions: int,
+    lane_major: bool = False,   # stash already [L, B, J, HD]
 ) -> dict:
     """Drop-in replacement for models.model.flush_burst_stash (bf16/f32
     pools). Writes every kept stash row into its pool slot; other pool rows
-    are untouched. The carry-layout stash is transposed lane-major ONCE here
-    (one small copy per burst — a lane-major carry instead costs XLA
-    per-(layer, step) relayout copies on every attention read)."""
-    L, J, B, HD = stash["k"].shape
-    stash_k = jnp.swapaxes(stash["k"], 1, 2)  # [L, B, J, HD]
-    stash_v = jnp.swapaxes(stash["v"], 1, 2)
+    are untouched. A step-major carry-layout stash is transposed lane-major
+    ONCE here (one small copy per burst — a lane-major carry instead costs
+    XLA per-(layer, step) relayout copies on every attention read); bhjd
+    carries arrive pre-transposed (lane_major=True)."""
+    if lane_major:
+        L, B, J, HD = stash["k"].shape
+        stash_k, stash_v = stash["k"], stash["v"]
+    else:
+        L, J, B, HD = stash["k"].shape
+        stash_k = jnp.swapaxes(stash["k"], 1, 2)  # [L, B, J, HD]
+        stash_v = jnp.swapaxes(stash["v"], 1, 2)
     bs = block_size
     total = pool["k"].shape[0]
     nslots = total // L

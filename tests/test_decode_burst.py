@@ -24,13 +24,17 @@ def cfg_of(**kw):
     return ModelConfig(**base)
 
 
-@pytest.mark.parametrize("quantized,window,style", [
-    (False, 0, BlockStyle.SEQUENTIAL),
-    (False, 24, BlockStyle.SEQUENTIAL),
-    (False, 0, BlockStyle.PARALLEL),
-    (True, 0, BlockStyle.SEQUENTIAL),
+@pytest.mark.parametrize("quantized,window,style,stash_layout", [
+    (False, 0, BlockStyle.SEQUENTIAL, "jbhd"),
+    (False, 24, BlockStyle.SEQUENTIAL, "jbhd"),
+    (False, 0, BlockStyle.PARALLEL, "jbhd"),
+    (True, 0, BlockStyle.SEQUENTIAL, "jbhd"),
+    # [L, B, Hkv, J, D] carry (the 128-lane relayout fix) — same numerics.
+    (False, 0, BlockStyle.SEQUENTIAL, "bhjd"),
+    (False, 24, BlockStyle.SEQUENTIAL, "bhjd"),
+    (True, 0, BlockStyle.SEQUENTIAL, "bhjd"),
 ])
-def test_burst_decode_matches_per_step(quantized, window, style):
+def test_burst_decode_matches_per_step(quantized, window, style, stash_layout):
     cfg = cfg_of(sliding_window=window, block_style=style,
                  num_kv_heads=1 if style == BlockStyle.PARALLEL else 2)
     params = M.init_params(cfg, seed=0)
@@ -95,7 +99,7 @@ def test_burst_decode_matches_per_step(quantized, window, style):
 
     # --- Burst path: stash + flush, pool untouched during the burst ---
     pool2 = pool_b
-    stash = M.create_burst_stash(cfg, n_steps, B)
+    stash = M.create_burst_stash(cfg, n_steps, B, layout=stash_layout)
     tok = jnp.asarray(tokens0)
     pos = jnp.asarray(positions0)
     burst_logits = []

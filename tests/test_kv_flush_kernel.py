@@ -67,8 +67,21 @@ def test_flush_kernel_matches_xla(J, bs, max_positions):
             jnp.asarray(positions0), jnp.asarray(active), bs,
             max_positions=max_positions,
         )
+        # Pre-transposed lane-major stash (the bhjd carry path) must write
+        # identical bytes.
+        out_lm = kv_flush.flush_burst_stash_pallas(
+            dict(pool0),
+            {n: jnp.swapaxes(s, 1, 2) for n, s in stash.items()},
+            jnp.asarray(block_tables), jnp.asarray(positions0),
+            jnp.asarray(active), bs, max_positions=max_positions,
+            lane_major=True,
+        )
     finally:
         kv_flush.set_interpret(False)
+    for key in ("k", "v"):
+        np.testing.assert_array_equal(
+            np.asarray(out[key]), np.asarray(out_lm[key]), err_msg=key
+        )
 
     # Rows of reserved block 0 are the kernel's dustbin: it may rewrite them
     # (with their own old contents) — exclude from the comparison the same
