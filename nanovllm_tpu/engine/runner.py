@@ -486,21 +486,36 @@ class TPUModelRunner:
             pregather_kernel = (
                 hoist and _os.environ["NANOVLLM_PREGATHER_KERNEL"] == "1"
             )
-        # Stash carry layout: [L, B, Hkv, J, D] ("bhjd") on the hoisted path
-        # at wide batches — its row-major layout is what both stash dots
-        # consume, killing the per-(layer, step) relayout copies XLA inserts
-        # at 128 lanes (~2.0 ms/step at the r5 headline shape; <=64-lane
-        # programs never paid them, so they keep the step-major carry whose
-        # write is free). The stash-aware paged kernel (non-hoist
-        # long-context path) consumes step-major directly.
+        # Fused Pallas attention (one call per layer-step replacing the XLA
+        # attention op chain) rides the pregather kernel's transposed output
+        # and the bhjd stash carry. NANOVLLM_FUSED_ATTN=0/1 overrides.
+        fused_attn = False
+        if pregather_kernel:
+            from nanovllm_tpu.ops.pallas import fused_decode_attention as _fa
+
+            fused_attn = _fa.fused_supported(
+                self.S, cfg.num_heads, cfg.num_kv_heads, cfg.head_dim,
+                nb * bs, n_steps,
+            )
+        if _os.environ.get("NANOVLLM_FUSED_ATTN") in ("0", "1"):
+            fused_attn = fused_attn and _os.environ["NANOVLLM_FUSED_ATTN"] == "1"
+        # Stash carry layout: [L, B, Hkv, J, D] ("bhjd") whenever the fused
+        # kernel consumes it, and on the hoisted path at wide batches — its
+        # row-major layout is what both stash dots consume, killing the
+        # per-(layer, step) relayout copies XLA inserts at 128 lanes (~2.0
+        # ms/step at the r5 headline shape; <=64-lane XLA programs never
+        # paid them, so without the fused kernel they keep the step-major
+        # carry whose write is free). The stash-aware paged kernel
+        # (non-hoist long-context path) consumes step-major directly.
         # NANOVLLM_STASH_LAYOUT overrides for A/B.
-        stash_layout = "bhjd" if (hoist and self.S >= 96) else "jbhd"
+        stash_layout = "bhjd" if (fused_attn or (hoist and self.S >= 96)) else "jbhd"
         if _os.environ.get("NANOVLLM_STASH_LAYOUT") in ("bhjd", "jbhd"):
             stash_layout = _os.environ["NANOVLLM_STASH_LAYOUT"]
             if not hoist:
                 stash_layout = "jbhd"  # kernel path needs step-major
+        fused_attn = fused_attn and stash_layout == "bhjd"
         key = ("burst", nb, n_steps, hoist, flush_kernel, pregather_kernel,
-               stash_layout)
+               stash_layout, fused_attn)
         if key not in self._decode_cache:
             Lh = self.hist_capacity
             rep = self._rep
@@ -525,6 +540,7 @@ class TPUModelRunner:
                         params, cfg, tokens, positions, context_lens0, i,
                         block_tables, pool, stash, mamba, bs, k_pre, v_pre,
                         valid_mask=active, ctx_transposed=pregather_kernel,
+                        fused_attn=fused_attn,
                     )
                     sampled = sample_op(
                         logits.astype(jnp.float32), history, hist_lens,

@@ -833,6 +833,7 @@ def decode_step_burst(
     v_ctx_pre: jnp.ndarray | None = None,  # (or [L, B, Hkv*D, S] transposed)
     valid_mask: jnp.ndarray | None = None,  # [B] active lanes
     ctx_transposed: bool = False,  # k/v_ctx_pre from the pregather kernel
+    fused_attn: bool = False,  # Pallas fused attention (bhjd + transposed ctx)
 ):
     """One decode step of a deferred burst; returns (logits, stash,
     mamba_state). The pool is not written — call flush_burst_stash after the
@@ -846,6 +847,16 @@ def decode_step_burst(
     cos_sin = None
     if cfg.position_type == PositionType.ROPE:
         cos_sin = rope_cos_sin(positions, params["rope_inv_freq"])
+    fused_masks = None
+    if fused_attn and ctx_transposed and k_ctx_pre is not None and stash["k"].ndim == 5:
+        # Layer-shared per-step masks for the fused attention kernel.
+        from nanovllm_tpu.ops.pallas.fused_decode_attention import decode_masks
+
+        fused_masks = decode_masks(
+            ctx0, step_idx, k_ctx_pre.shape[-1], stash["k"].shape[3],
+            cfg.sliding_window,
+        )
+    fused_attn = fused_masks is not None
 
     def attn_layer(blk, x, stash, layer, use_rope):
         h = apply_norm(blk["ln1"], x, cfg.norm_eps)
@@ -895,6 +906,19 @@ def decode_step_burst(
                 k_scale_l=pool.get("k_scale"), v_scale_l=pool.get("v_scale"),
                 stash_k=stash["k"][layer], stash_v=stash["v"][layer],
                 step_idx=step_idx,
+            )
+        elif fused_attn and bhjd and ctx_transposed and k_ctx_pre is not None:
+            # One Pallas call replaces the whole per-layer attention chain
+            # (two QK^T dots, masks, softmax, two PV dots + the scheduling
+            # overhead around each) — the op-count tax that dominates the
+            # non-matmul step time on the hoisted path (r5 anatomy).
+            from nanovllm_tpu.ops.pallas.fused_decode_attention import (
+                fused_decode_attention,
+            )
+
+            attn = fused_decode_attention(
+                q, k_ctx_pre, v_ctx_pre, stash["k"], stash["v"],
+                fused_masks[0], fused_masks[1], layer, cfg.attn_scale,
             )
         else:
             layout = "bshd"
